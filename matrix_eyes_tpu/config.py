@@ -1,0 +1,146 @@
+"""Model and runtime configuration.
+
+The reference hard-codes its architecture constants (vit.rs:17-19,349-358,
+mod.rs:33,262-263) and selects backend/dtype at *compile time* via cargo
+features (reconstruction.rs:15-72).  Here both become runtime data:
+
+* ``ModelConfig`` parameterises the whole Depth Pro architecture.  The
+  production configuration (``DEPTH_PRO``) matches the reference exactly;
+  scaled-down configurations keep the full structural shape (pyramid with
+  25+9+1 patches, DPT decoder, FOV head) at tiny sizes so unit tests and
+  multi-chip CPU dry-runs stay fast.
+* ``RuntimeConfig`` replaces the cargo feature matrix with runtime flags
+  (``--dtype f32|bf16``, backend auto-detect via ``jax.devices()``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Depth Pro architecture description.
+
+    Defaults reproduce the reference: ViT-L/16 @ 384^2 (vit.rs:349-358),
+    IMG_SIZE = 4 * 384 = 1536 (mod.rs:33), ENCODER_FEATURE_DIMS /
+    DECODER_FEATURES (mod.rs:262-263), highres intermediate blocks [5, 11]
+    (encoder.rs:227).
+    """
+
+    vit_img_size: int = 384
+    patch_size: int = 16
+    depth: int = 24
+    embed_dim: int = 1024
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    layer_norm_eps: float = 1e-6  # DINOv2/timm value (see models/vit.py docstring)
+    encoder_feature_dims: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    decoder_features: int = 256
+    head_last_dims: Tuple[int, int] = (32, 1)
+    highres_block_ids: Tuple[int, int] = (5, 11)
+
+    @property
+    def img_size(self) -> int:
+        """Full input resolution: 4x the ViT patch resolution (mod.rs:33)."""
+        return self.vit_img_size * 4
+
+    @property
+    def tokens_per_side(self) -> int:
+        return self.vit_img_size // self.patch_size
+
+    @property
+    def num_patch_tokens(self) -> int:
+        return self.tokens_per_side * self.tokens_per_side
+
+    @property
+    def seq_len(self) -> int:
+        """Patch tokens + cls token."""
+        return self.num_patch_tokens + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    def __post_init__(self):
+        if self.vit_img_size % self.patch_size != 0:
+            raise ValueError("vit_img_size must be divisible by patch_size")
+        if self.patch_size != 16:
+            # The fixed upsample chain (merge 4s -> x8 -> head x2 = 64s)
+            # closes back to img_size = 4 * vit_img_size only for /16
+            # patching; the architecture is tied to it (encoder.rs:85-118).
+            raise ValueError("patch_size must be 16 (the upsample chain assumes it)")
+        if self.tokens_per_side % 8 != 0:
+            # merge() trims tokens_per_side/8 and tokens_per_side/4 feature
+            # pixels of overlap (encoder.rs:266-294 uses 3 and 6 for a
+            # 24-token grid); the grid must stay divisible.
+            raise ValueError("tokens_per_side (vit_img_size/patch_size) must be divisible by 8")
+        if self.embed_dim % self.num_heads != 0:
+            raise ValueError("embed_dim must be divisible by num_heads")
+
+
+# Production configuration = the reference's architecture.
+DEPTH_PRO = ModelConfig()
+
+# Structurally identical, ~1000x smaller: for unit tests and CPU dry-runs.
+TINY = ModelConfig(
+    vit_img_size=128,
+    patch_size=16,
+    depth=2,
+    embed_dim=16,
+    num_heads=2,
+    encoder_feature_dims=(8, 12, 16, 16),
+    decoder_features=8,
+    head_last_dims=(4, 1),
+    highres_block_ids=(0, 1),
+)
+
+
+def default_compute_dtype() -> jnp.dtype:
+    """bf16 on TPU (MXU-native), f32 elsewhere."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+_DTYPE_NAMES = {
+    "f32": jnp.float32,
+    "float32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "f16": jnp.float16,
+    "float16": jnp.float16,
+}
+
+
+def parse_dtype(name: str) -> jnp.dtype:
+    try:
+        return _DTYPE_NAMES[name.lower()]
+    except KeyError:
+        raise ValueError(f"Unsupported dtype {name!r}; expected one of {sorted(_DTYPE_NAMES)}")
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Runtime replacement for the reference's cargo feature matrix.
+
+    dtype: parameter/compute dtype policy (accumulation is always f32).
+    seed: stereogram noise PRNG seed. The reference uses a thread RNG
+        (output.rs:163) so its noise is not reproducible; we use
+        ``jax.random`` with an explicit seed and document determinism.
+    flash_attention: use the Pallas flash-attention kernel on TPU.
+    """
+
+    dtype: Optional[jnp.dtype] = None
+    seed: int = 0
+    flash_attention: Optional[bool] = None  # None = auto (TPU only)
+
+    def resolved_dtype(self) -> jnp.dtype:
+        return self.dtype if self.dtype is not None else default_compute_dtype()
+
+    def use_flash_attention(self) -> bool:
+        if self.flash_attention is not None:
+            return self.flash_attention
+        return jax.default_backend() == "tpu"

@@ -1,0 +1,74 @@
+"""DPT-style multiresolution fusion decoder (reference src/depth_pro/decoder.rs).
+
+Components:
+* ResidualConvUnit (decoder.rs:14-45): x + conv3x3(relu(conv3x3(relu(x))));
+* FeatureFusionBlock (decoder.rs:47-103): optional skip-add of RCU(skip),
+  RCU, optional 2x2/s2 deconv upsample, 1x1 out conv;
+* MultiresConvDecoder (decoder.rs:105-209): per-level 3x3 projections to the
+  decoder width (the finest level's 1x1 is skipped when dims already match,
+  decoder.rs:123-131), then fusion blocks processed coarse -> fine.
+
+Returns (features, lowres_features): the finest fused grid (768^2@256) and
+the coarsest projected grid (48^2@256) which feeds the FOV head
+(decoder.rs:178, mod.rs:354).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.ops import nn
+
+Params = Dict
+
+
+def residual_conv_unit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    out = nn.relu(x)
+    out = nn.conv2d(out, p["conv1_w"], p["conv1_b"], padding=1)
+    out = nn.relu(out)
+    out = nn.conv2d(out, p["conv2_w"], p["conv2_b"], padding=1)
+    return x + out
+
+
+def feature_fusion_block(p: Params, x0: jnp.ndarray,
+                         x1: Optional[jnp.ndarray]) -> jnp.ndarray:
+    out = x0
+    if x1 is not None:
+        out = x0 + residual_conv_unit(p["resnet1"], x1)
+    out = residual_conv_unit(p["resnet2"], out)
+    if "deconv_w" in p:
+        out = nn.deconv2x2(out, p["deconv_w"])  # bias-free (decoder.rs:65-68)
+    return nn.linear(out, p["out_conv_w"], p["out_conv_b"])  # 1x1 conv
+
+
+def forward(params: Params, encodings: List[jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decoder forward (decoder.rs:153-208).
+
+    ``params['convs']`` has one 3x3 projection per encoding except the
+    finest (len == len(encodings) - 1 when the finest level's width already
+    equals the decoder width, the production case).
+    """
+    convs = params["convs"]
+    fusions = params["fusions"]
+    if len(encodings) != len(fusions):
+        raise ValueError(
+            f"got encoder output levels {len(encodings)}, expected levels {len(fusions)}")
+
+    features = nn.conv2d(encodings[-1], convs[-1]["w"], padding=1)
+    lowres_features = features
+    features = feature_fusion_block(fusions[-1], features, None)
+
+    skip = 0 if len(convs) == len(fusions) else 1
+    for i in range(len(encodings) - 2, -1, -1):
+        enc = encodings[i]
+        if i - skip >= 0:
+            proj = convs[i - skip]
+            if proj["w"].ndim == 2:  # 1x1 projection (finest level, dims differ)
+                enc = nn.linear(enc, proj["w"])
+            else:
+                enc = nn.conv2d(enc, proj["w"], padding=1)
+        features = feature_fusion_block(fusions[i], features, enc)
+
+    return features, lowres_features

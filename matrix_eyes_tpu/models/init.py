@@ -1,0 +1,41 @@
+"""Random parameter initialisation (for tests and benchmarks).
+
+The reference has no training path, so initialisation only needs to produce
+well-conditioned activations for shape/parity/benchmark runs; scale is a
+truncated-normal-ish fan-in scheme. Real weights come from
+``pt.convert.load_params``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import ModelConfig
+from matrix_eyes_tpu.models.spec import param_spec
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.float32,
+                include_fov: bool = True) -> Dict[str, Any]:
+    spec = param_spec(cfg, include_fov=include_fov)
+    leaves, treedef = jax.tree.flatten(spec)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+
+    def init_leaf(key, s):
+        shape = s.shape
+        if len(shape) >= 2:
+            fan_in = 1
+            for d in shape[:-1]:
+                fan_in *= d
+            w = jax.random.normal(key, shape, jnp.float32) * (1.0 / max(fan_in, 1)) ** 0.5
+        else:
+            # biases / norm params: small nonzero values so LayerScale and
+            # norms do not zero the network out (the real checkpoint's
+            # gammas are nonzero).
+            w = jax.random.uniform(key, shape, jnp.float32, 0.05, 0.3)
+        return w.astype(dtype)
+
+    inited = [init_leaf(k, s) for k, s in zip(keys, leaves)]
+    return jax.tree.unflatten(treedef, inited)

@@ -1,0 +1,119 @@
+"""DINOv2-style ViT-L/16 vision transformer (functional, scan-over-blocks).
+
+Reference: src/depth_pro/vit.rs (Attention vit.rs:57-76, LayerScale
+vit.rs:78-96, Mlp vit.rs:98-124, Block vit.rs:126-171, PatchEmbed
+vit.rs:173-224, DinoVisionTransformer vit.rs:226-347, config
+``dinov2l16_384_init`` vit.rs:349-358: depth 24, embed 1024, heads 16).
+
+TPU-first design choices:
+* the 24 transformer blocks are identical in structure, so their parameters
+  are stacked along a leading axis and the layer loop is a ``lax.scan`` --
+  one compiled block body instead of 24 unrolled ones (faster compiles, same
+  runtime);
+* ``forward_features`` must also return the activations after the highres
+  intermediate blocks (vit.rs:297-326, ids [5, 11]); the scan is segmented
+  at those block ids so only the needed intermediates are materialised;
+* attention runs through the Pallas flash kernel on TPU (ops/attention.py).
+
+LayerNorm epsilon: the Burn reference uses Burn's default 1e-5, but the
+PyTorch Depth Pro checkpoint (timm DINOv2 ViT) was trained with eps=1e-6;
+we use the checkpoint's value (config.ModelConfig.layer_norm_eps) since
+numerical parity with PyTorch Depth Pro is the accuracy target.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from matrix_eyes_tpu.config import ModelConfig
+from matrix_eyes_tpu.ops import nn
+from matrix_eyes_tpu.ops.attention import attention
+
+Params = Dict[str, jnp.ndarray]
+
+
+def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool) -> jnp.ndarray:
+    """One pre-norm transformer block (vit.rs:163-170)."""
+    B, N, C = x.shape
+    H = cfg.num_heads
+    D = cfg.head_dim
+    scale = 1.0 / (D ** 0.5)
+
+    h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
+    qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
+    qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    o = attention(q, k, v, scale, use_flash=use_flash)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+    o = nn.linear(o, p["proj_w"], p["proj_b"])
+    x = x + o * p["ls1"]
+
+    h = nn.layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)
+    h = nn.linear(h, p["fc1_w"], p["fc1_b"])
+    h = nn.gelu(h)
+    h = nn.linear(h, p["fc2_w"], p["fc2_b"])
+    return x + h * p["ls2"]
+
+
+def prepare_tokens(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Patch-embed, prepend cls token, add positional embedding
+    (vit.rs:287-295). x: (B, S, S, 3) NHWC; returns (B, N+1, C).
+
+    Like the reference (vit.rs:278-285), positional-embedding interpolation
+    is unsupported: the token count must match pos_embed exactly.
+    """
+    B = x.shape[0]
+    tokens = nn.patch_embed(x, params["patch_embed"]["w"], params["patch_embed"]["b"],
+                            cfg.patch_size)
+    if tokens.shape[1] + 1 != params["pos_embed"].shape[1]:
+        raise ValueError(
+            f"pos_embed interpolation is not implemented: got {tokens.shape[1]} patch "
+            f"tokens but pos_embed has {params['pos_embed'].shape[1] - 1}"
+        )
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
+                           (B, 1, tokens.shape[2]))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    return tokens + params["pos_embed"].astype(tokens.dtype)
+
+
+def _scan_blocks(cfg: ModelConfig, stacked: Params, x: jnp.ndarray, lo: int, hi: int,
+                 use_flash: bool) -> jnp.ndarray:
+    """Run blocks [lo, hi) via lax.scan over their stacked parameters."""
+    if hi <= lo:
+        return x
+    seg = {k: v[lo:hi] for k, v in stacked.items()}
+
+    def body(carry, p):
+        return block_forward(cfg, p, carry, use_flash), None
+
+    out, _ = lax.scan(body, x, seg)
+    return out
+
+
+def forward_features(
+    cfg: ModelConfig,
+    params: Params,
+    x: jnp.ndarray,
+    intermediate_blocks: Sequence[int] = (),
+    use_flash: bool = False,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Full forward (vit.rs:328-346): returns the final LayerNorm'd token
+    tensor and the (un-norm'd) activations after each block id in
+    ``intermediate_blocks`` (must be sorted ascending).
+    """
+    tokens = prepare_tokens(cfg, params, x)
+    stacked = params["blocks"]
+    inters: List[jnp.ndarray] = []
+    lo = 0
+    for bid in intermediate_blocks:
+        tokens = _scan_blocks(cfg, stacked, tokens, lo, bid + 1, use_flash)
+        inters.append(tokens)
+        lo = bid + 1
+    tokens = _scan_blocks(cfg, stacked, tokens, lo, cfg.depth, use_flash)
+    final = nn.layer_norm(tokens, params["norm"]["scale"], params["norm"]["bias"],
+                          cfg.layer_norm_eps)
+    return final, inters

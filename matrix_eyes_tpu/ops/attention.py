@@ -1,0 +1,39 @@
+"""Multi-head self-attention for the ViT blocks.
+
+Two implementations with identical semantics (reference vit.rs:57-76:
+``softmax((q * scale) @ k^T) @ v``):
+
+* ``attention_xla``: plain jnp ops -- used on CPU and as the numerical
+  reference in tests;
+* ``attention_flash`` (ops/flash_attention.py): a fused Pallas TPU kernel
+  that never materialises the (B, H, N, N) score tensor in HBM. For the
+  35-patch pyramid batch the scores alone are 35*16*577*577*4B = 745 MB of
+  HBM traffic per layer in f32 -- the fused kernel keeps them in VMEM.
+
+``attention`` dispatches on the runtime config.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.ops.nn import ACC_T
+
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """q, k, v: (B, H, N, D); returns (B, H, N, D)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+                   preferred_element_type=ACC_T)
+    p = jnp.asarray(jnp.exp(s - jnp.max(s, axis=-1, keepdims=True)))
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v, preferred_element_type=ACC_T)
+    return o.astype(q.dtype)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+              use_flash: bool = False) -> jnp.ndarray:
+    if use_flash:
+        from matrix_eyes_tpu.ops.flash_attention import attention_flash
+
+        return attention_flash(q, k, v, scale)
+    return attention_xla(q, k, v, scale)
