@@ -1,0 +1,277 @@
+"""Convert a ``depth_pro.pt`` state dict to TPU-native parameter pytrees.
+
+This is the reference's KeyRemapper + adapter chain (mod.rs:174-249)
+rebuilt: instead of renaming keys to fit a Burn module tree, we map each
+checkpoint tensor into the layouts that the JAX model consumes (see
+ops/nn.py): linears transposed to (in, out), convs OIHW -> HWIO, 1x1 convs
+to plain matrices, 2x2/s2 transposed convs to (in, 4*out) matmul weights,
+the patch-embed conv to a (p*p*3, embed) matrix, and ViT block parameters
+stacked along a leading layer axis for ``lax.scan``.
+
+Key naming follows the real checkpoint (torch nn.Sequential containers with
+ReLU/Identity holes -- the indices the reference's remapper rewrites at
+mod.rs:185-210): ``head.{0,1,2,4}``, ``fov.encoder.{0,1}``,
+``fov.head.{0,2,4}``, ``decoder.convs.{1..4}`` (Identity at 0),
+``...resnet{1,2}.residual.{1,3}``. Compact (hole-free) indices are accepted
+as fallbacks.
+
+Validation mirrors mod.rs:238-243: every parameter required by
+``models.spec.param_spec`` must be found (missing -> CheckpointMissingKeys)
+with the exact expected shape (-> CheckpointBadShape); unused checkpoint
+keys are ignored, like the reference's unused snapshots.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import ModelConfig
+from matrix_eyes_tpu.errors import CheckpointBadShape, CheckpointMissingKeys
+from matrix_eyes_tpu.models.spec import param_spec
+
+PARTS = ("encoder", "decoder", "head", "fov")
+
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    """torch Linear (out, in) -> (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d OIHW -> HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def t_conv1x1(w: np.ndarray) -> np.ndarray:
+    """torch 1x1 Conv2d (O, I, 1, 1) -> channel matmul (I, O)."""
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def t_deconv2x2(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I, O, 2, 2) -> (I, 4*O), inner order (di, dj, o)."""
+    i, o = w.shape[0], w.shape[1]
+    return np.ascontiguousarray(w.transpose(0, 2, 3, 1).reshape(i, 4 * o))
+
+
+def t_patch_embed(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (D, 3, p, p) -> ((p, p, 3) flattened, D)."""
+    d = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0).reshape(-1, d))
+
+
+def t_id(w: np.ndarray) -> np.ndarray:
+    return w
+
+
+class _KeySpace:
+    """Flat state-dict access that records missing keys instead of raising,
+    so the final error lists everything at once (mod.rs:241-243)."""
+
+    def __init__(self, flat: Dict[str, np.ndarray]):
+        self.flat = flat
+        self.missing: List[str] = []
+
+    def take(self, *candidates: str, transform: Callable = t_id) -> Optional[np.ndarray]:
+        for name in candidates:
+            if name in self.flat:
+                return transform(np.asarray(self.flat[name]))
+        self.missing.append(candidates[0])
+        return None
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.flat
+
+
+def _convert_vit(ks: _KeySpace, p: str, cfg: ModelConfig) -> Dict[str, Any]:
+    blocks: Dict[str, List[np.ndarray]] = {}
+
+    def blk(field: str, key_fmt: str, transform: Callable = t_id):
+        vals = [ks.take(key_fmt.format(p=p, i=i), transform=transform)
+                for i in range(cfg.depth)]
+        blocks[field] = vals
+
+    blk("norm1_scale", "{p}.blocks.{i}.norm1.weight")
+    blk("norm1_bias", "{p}.blocks.{i}.norm1.bias")
+    blk("qkv_w", "{p}.blocks.{i}.attn.qkv.weight", t_linear)
+    blk("qkv_b", "{p}.blocks.{i}.attn.qkv.bias")
+    blk("proj_w", "{p}.blocks.{i}.attn.proj.weight", t_linear)
+    blk("proj_b", "{p}.blocks.{i}.attn.proj.bias")
+    blk("ls1", "{p}.blocks.{i}.ls1.gamma")
+    blk("norm2_scale", "{p}.blocks.{i}.norm2.weight")
+    blk("norm2_bias", "{p}.blocks.{i}.norm2.bias")
+    blk("fc1_w", "{p}.blocks.{i}.mlp.fc1.weight", t_linear)
+    blk("fc1_b", "{p}.blocks.{i}.mlp.fc1.bias")
+    blk("fc2_w", "{p}.blocks.{i}.mlp.fc2.weight", t_linear)
+    blk("fc2_b", "{p}.blocks.{i}.mlp.fc2.bias")
+    blk("ls2", "{p}.blocks.{i}.ls2.gamma")
+
+    stacked = {
+        k: (np.stack(v) if all(x is not None for x in v) else None)
+        for k, v in blocks.items()
+    }
+    return {
+        "patch_embed": {
+            "w": ks.take(f"{p}.patch_embed.proj.weight", transform=t_patch_embed),
+            "b": ks.take(f"{p}.patch_embed.proj.bias"),
+        },
+        "cls_token": ks.take(f"{p}.cls_token"),
+        "pos_embed": ks.take(f"{p}.pos_embed"),
+        "blocks": stacked,
+        "norm": {
+            "scale": ks.take(f"{p}.norm.weight"),
+            "bias": ks.take(f"{p}.norm.bias"),
+        },
+    }
+
+
+def _convert_upsample(ks: _KeySpace, p: str, n_up: int) -> Dict[str, Any]:
+    return {
+        "proj": ks.take(f"{p}.0.weight", transform=t_conv1x1),
+        "deconvs": [
+            ks.take(f"{p}.{i + 1}.weight", transform=t_deconv2x2) for i in range(n_up)
+        ],
+    }
+
+
+def _convert_rcu(ks: _KeySpace, p: str) -> Dict[str, Any]:
+    # Real checkpoint: Sequential(ReLU, conv, ReLU, conv) -> indices 1, 3;
+    # compact fallback: 0, 1.
+    return {
+        "conv1_w": ks.take(f"{p}.residual.1.weight", f"{p}.residual.0.weight",
+                           transform=t_conv),
+        "conv1_b": ks.take(f"{p}.residual.1.bias", f"{p}.residual.0.bias"),
+        "conv2_w": ks.take(f"{p}.residual.3.weight", transform=t_conv),
+        "conv2_b": ks.take(f"{p}.residual.3.bias"),
+    }
+
+
+def _convert_encoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
+    return {
+        "patch_encoder": _convert_vit(ks, "encoder.patch_encoder", cfg),
+        "image_encoder": _convert_vit(ks, "encoder.image_encoder", cfg),
+        "upsample_latent0": _convert_upsample(ks, "encoder.upsample_latent0", 3),
+        "upsample_latent1": _convert_upsample(ks, "encoder.upsample_latent1", 2),
+        "upsample0": _convert_upsample(ks, "encoder.upsample0", 1),
+        "upsample1": _convert_upsample(ks, "encoder.upsample1", 1),
+        "upsample2": _convert_upsample(ks, "encoder.upsample2", 1),
+        "upsample_lowres": {
+            "w": ks.take("encoder.upsample_lowres.weight", transform=t_deconv2x2),
+            "b": ks.take("encoder.upsample_lowres.bias"),
+        },
+        "fuse_lowres": {
+            "w": ks.take("encoder.fuse_lowres.weight", transform=t_conv1x1),
+            "b": ks.take("encoder.fuse_lowres.bias"),
+        },
+    }
+
+
+def _convert_decoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
+    dec = cfg.decoder_features
+    dims = (dec,) + tuple(cfg.encoder_feature_dims)
+    identity_at_0 = dims[0] == dec
+    convs: List[Dict[str, Any]] = []
+    if not identity_at_0:
+        convs.append({"w": ks.take("decoder.convs.0.weight", transform=t_conv1x1)})
+    for j in range(1, len(dims)):
+        # Real checkpoint indexes past the Identity; compact fallback doesn't.
+        primary = f"decoder.convs.{j}.weight"
+        fallback = f"decoder.convs.{j - 1 if identity_at_0 else j}.weight"
+        convs.append({"w": ks.take(primary, fallback, transform=t_conv)})
+    fusions = []
+    for i in range(len(dims)):
+        p = f"decoder.fusions.{i}"
+        f: Dict[str, Any] = {
+            "resnet1": _convert_rcu(ks, f"{p}.resnet1"),
+            "resnet2": _convert_rcu(ks, f"{p}.resnet2"),
+            "out_conv_w": ks.take(f"{p}.out_conv.weight", transform=t_conv1x1),
+            "out_conv_b": ks.take(f"{p}.out_conv.bias"),
+        }
+        if i != 0:
+            f["deconv_w"] = ks.take(f"{p}.deconv.weight", transform=t_deconv2x2)
+        fusions.append(f)
+    return {"convs": convs, "fusions": fusions}
+
+
+def _convert_head(ks: _KeySpace) -> Dict[str, Any]:
+    return {
+        "conv0_w": ks.take("head.0.weight", transform=t_conv),
+        "conv0_b": ks.take("head.0.bias"),
+        "deconv1_w": ks.take("head.1.weight", transform=t_deconv2x2),
+        "deconv1_b": ks.take("head.1.bias"),
+        "conv2_w": ks.take("head.2.weight", transform=t_conv),
+        "conv2_b": ks.take("head.2.bias"),
+        "conv3_w": ks.take("head.4.weight", transform=t_conv1x1),
+        "conv3_b": ks.take("head.4.bias"),
+    }
+
+
+def _convert_fov(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
+    return {
+        "encoder": _convert_vit(ks, "fov.encoder.0", cfg),
+        "linear": {
+            "w": ks.take("fov.encoder.1.weight", transform=t_linear),
+            "b": ks.take("fov.encoder.1.bias"),
+        },
+        "downsample0": {
+            "w": ks.take("fov.downsample.0.weight", transform=t_conv),
+            "b": ks.take("fov.downsample.0.bias"),
+        },
+        "head0": {
+            "w": ks.take("fov.head.0.weight", transform=t_conv),
+            "b": ks.take("fov.head.0.bias"),
+        },
+        "head1": {
+            "w": ks.take("fov.head.2.weight", "fov.head.1.weight", transform=t_conv),
+            "b": ks.take("fov.head.2.bias", "fov.head.1.bias"),
+        },
+        "head2": {
+            "w": ks.take("fov.head.4.weight", "fov.head.2.weight", transform=t_conv),
+            "b": ks.take("fov.head.4.bias", "fov.head.2.bias"),
+        },
+    }
+
+
+def convert_state_dict(
+    cfg: ModelConfig,
+    flat: Dict[str, np.ndarray],
+    dtype=jnp.float32,
+    parts: Sequence[str] = PARTS,
+) -> Dict[str, Any]:
+    """Convert a flat torch state dict to the model parameter pytree.
+
+    Raises CheckpointMissingKeys / CheckpointBadShape on validation failure,
+    mirroring the reference's hard errors (mod.rs:238-243). Casting to the
+    runtime dtype happens here, like the reference's HalfPrecisionAdapter
+    (mod.rs:125-164).
+    """
+    ks = _KeySpace(flat)
+    converters = {
+        "encoder": lambda: _convert_encoder(ks, cfg),
+        "decoder": lambda: _convert_decoder(ks, cfg),
+        "head": lambda: _convert_head(ks),
+        "fov": lambda: _convert_fov(ks, cfg),
+    }
+    params = {part: converters[part]() for part in parts}
+    if ks.missing:
+        raise CheckpointMissingKeys(ks.missing)
+
+    spec = param_spec(cfg, include_fov="fov" in parts)
+    spec = {part: spec[part] for part in parts}
+    flat_params, tree = jax.tree.flatten(params)
+    flat_spec, spec_tree = jax.tree.flatten(spec)
+    if tree != spec_tree:
+        raise CheckpointBadShape(
+            f"converted tree structure does not match the model spec:\n{tree}\nvs\n{spec_tree}")
+    bad = []
+    for got, want in zip(flat_params, flat_spec):
+        if tuple(got.shape) != tuple(want.shape):
+            bad.append(f"expected {want.shape}, got {got.shape}")
+    if bad:
+        raise CheckpointBadShape("; ".join(bad[:10]))
+    out = [jnp.asarray(a, dtype=dtype) for a in flat_params]
+    return jax.tree.unflatten(tree, out)

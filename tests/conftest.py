@@ -8,7 +8,14 @@ section 4). This must run before jax is imported by any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment may pin JAX_PLATFORMS to a hardware plugin at interpreter
+# startup (site hook); the config API wins over the env var, so force CPU
+# here, before any backend is initialised.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
