@@ -1,0 +1,210 @@
+"""Command-line interface, flag-compatible with the reference.
+
+The reference hand-rolls ``--flag=value`` parsing (main.rs:36-147) with
+these behaviours, all reproduced:
+
+* options are only recognised before the first positional argument;
+* a flag without ``=`` -> usage + exit(2); unknown ``--flags`` print
+  "Unsupported argument" to stderr but do NOT abort (main.rs:117-119);
+* more than two positionals -> usage + exit(2); missing positionals ->
+  usage + exit(2); ``--help`` -> usage + exit(0);
+* reconstruction failure -> message + exit(1).
+
+TPU-native additions (runtime replacements for the reference's compile-time
+cargo features, reconstruction.rs:15-72): ``--dtype=f32|bf16|f16``,
+``--seed=N`` (stereogram noise), ``--no-flash-attention``.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from matrix_eyes_tpu import __version__
+
+USAGE_INSTRUCTIONS = """\
+Usage: matrix-eyes [OPTIONS] <IMG_SRC>... <IMG_OUT>
+
+Arguments:
+  <IMG_SRC>...  Source image
+  <IMG_OUT>     Output image
+
+Options:
+      --focal-length=<FOCAL_LENGTH>       Focal length in 35mm equivalent
+      --checkpoint-path=<CHECKPOINT_PATH> Path to checkpoint file [default: ./checkpoints/depth_pro.pt]
+      --image-output-format=<FORMAT>      Format for output [default: depthmap] [possible values: depthmap, stereogram]
+      --resize-scale=<SCALE>              Custom scale for stereogram output [default: 1.0]
+      --stereo-amplitude=<AMPLITUDE>      Custom scale for stereogram output [default: 0.0625]
+      --mesh=<MESH>                       Mesh options [default: vertex-colors] [possible values: plain, vertex-colors, texture-coordinates]
+      --convert-checkpoints               Convert checkpoints into a more efficient format [default: disabled]
+      --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16]
+      --seed=<SEED>                       Stereogram noise seed [default: 0]
+      --no-flash-attention                Disable the Pallas flash-attention kernel
+      --help                              Print help"""
+
+
+@dataclass
+class Args:
+    focal_length: Optional[float] = None
+    checkpoint_path: str = "./checkpoints/depth_pro.pt"
+    convert_checkpoints: bool = False
+    output_format: str = "depthmap"
+    resize_scale: Optional[float] = None
+    stereo_amplitude: float = 1.0 / 16.0
+    vertex_mode: str = "vertex-colors"
+    dtype: Optional[str] = None
+    seed: int = 0
+    flash_attention: Optional[bool] = None
+    img_src: str = ""
+    img_out: str = ""
+
+
+def _fail_usage(msg: str, stderr, stdout) -> "SystemExit":
+    print(msg, file=stderr)
+    print(USAGE_INSTRUCTIONS, file=stdout)
+    return SystemExit(2)
+
+
+def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
+    """Parse argv (without the program name). Raises SystemExit like the
+    reference's exit() calls."""
+    stdout = stdout or sys.stdout
+    stderr = stderr or sys.stderr
+    args = Args()
+
+    def parse_value(name: str, value: str, cast):
+        try:
+            return cast(value)
+        except ValueError as err:
+            raise _fail_usage(
+                f"Argument {name} has an unsupported value {value}: {err}", stderr, stdout)
+
+    for arg in argv:
+        if arg.startswith("--") and not args.img_src and not args.img_out:
+            if arg == "--convert-checkpoints":
+                args.convert_checkpoints = True
+                continue
+            if arg == "--no-flash-attention":
+                args.flash_attention = False
+                continue
+            if arg == "--help":
+                print(USAGE_INSTRUCTIONS, file=stdout)
+                raise SystemExit(0)
+            if "=" not in arg:
+                raise _fail_usage(f"Option flag {arg} has no value", stderr, stdout)
+            name, value = arg.split("=", 1)
+            if name == "--focal-length":
+                args.focal_length = parse_value(name, value, float)
+            elif name == "--image-output-format":
+                v = value.lower()
+                if v not in ("depthmap", "stereogram"):
+                    raise _fail_usage(f"Unsupported output format {value}", stderr, stdout)
+                args.output_format = v
+            elif name == "--resize-scale":
+                args.resize_scale = parse_value(name, value, float)
+            elif name == "--stereo-amplitude":
+                args.stereo_amplitude = parse_value(name, value, float)
+            elif name == "--mesh":
+                v = value.lower()
+                if v not in ("plain", "vertex-colors", "texture-coordinates"):
+                    raise _fail_usage(
+                        f"Unsupported mesh vertex output mode {value}", stderr, stdout)
+                args.vertex_mode = v
+            elif name == "--checkpoint-path":
+                args.checkpoint_path = value
+            elif name == "--dtype":
+                from matrix_eyes_tpu.config import parse_dtype
+
+                try:
+                    parse_dtype(value)
+                except ValueError as err:
+                    raise _fail_usage(
+                        f"Argument {name} has an unsupported value {value}: {err}",
+                        stderr, stdout)
+                args.dtype = value
+            elif name == "--seed":
+                args.seed = parse_value(name, value, int)
+            else:
+                # the reference only warns and keeps going (main.rs:117-119)
+                print(f"Unsupported argument {arg}", file=stderr)
+        elif not args.img_src:
+            args.img_src = arg
+        elif not args.img_out:
+            args.img_out = arg
+        else:
+            raise _fail_usage(f"Unexpected argument {arg}", stderr, stdout)
+
+    if not args.img_src:
+        raise _fail_usage("No source image provided", stderr, stdout)
+    if not args.img_out:
+        raise _fail_usage("No output image provided", stderr, stdout)
+    return args
+
+
+def run(args: Args, progress=None) -> None:
+    """Load checkpoint parts (FOV only when needed, like mod.rs:340-359),
+    then run the pipeline."""
+    from matrix_eyes_tpu.config import RuntimeConfig, parse_dtype
+    from matrix_eyes_tpu.io.image import load_source_image
+    from matrix_eyes_tpu.output.depthmap import ImageOutputFormat, VertexMode
+    from matrix_eyes_tpu.pipeline import extract_depth
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    runtime = RuntimeConfig(
+        dtype=parse_dtype(args.dtype) if args.dtype else None,
+        seed=args.seed,
+        flash_attention=args.flash_attention,
+    )
+    src = load_source_image(args.img_src, args.focal_length)
+    parts = ("encoder", "decoder", "head")
+    if src.f_norm() is None:
+        # FOV weights are only needed without a known focal length
+        # (mod.rs:340-359's lazy fov load).
+        parts = parts + ("fov",)
+    cfg, params = load_checkpoint(
+        args.checkpoint_path,
+        dtype=runtime.resolved_dtype(),
+        convert_checkpoints=args.convert_checkpoints,
+        parts=parts,
+        progress=progress,
+    )
+    extract_depth(
+        cfg,
+        params,
+        args.img_src,
+        args.img_out,
+        focal_length_35mm=args.focal_length,
+        image_format=ImageOutputFormat(args.output_format),
+        vertex_mode=VertexMode(args.vertex_mode),
+        resize_scale=args.resize_scale,
+        stereo_amplitude=args.stereo_amplitude,
+        runtime=runtime,
+        progress=progress,
+        source=src,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    print(f"Matrix Eyes version {__version__}")
+    try:
+        args = parse_args(sys.argv[1:] if argv is None else argv)
+    except SystemExit as e:
+        return int(e.code or 0)
+
+    from matrix_eyes_tpu.errors import MatrixEyesError
+    from matrix_eyes_tpu.progress import ConsoleProgressReporter
+
+    pb = ConsoleProgressReporter()
+    try:
+        run(args, progress=pb)
+    except MatrixEyesError as err:
+        pb.finish_and_clear()
+        print(f"Reconstruction failed: {err}")
+        return 1
+    pb.finish_and_clear()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

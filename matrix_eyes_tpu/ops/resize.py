@@ -114,7 +114,7 @@ def resize_lanczos3(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 def to_u8(img_f32: jnp.ndarray) -> jnp.ndarray:
     """Round-half-away-from-zero and clamp to [0, 255] (image crate's
     FloatNearest conversion); values are non-negative here so round() works."""
-    return jnp.clip(jnp.round(img_f32), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.clip(jnp.floor(img_f32 + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
 @lru_cache(maxsize=32)

@@ -1,0 +1,106 @@
+"""Autostereogram synthesis as a fully-vectorised device program.
+
+The reference (output.rs:141-193) builds each row with a left-to-right scan
+carrying a loop dependency in x::
+
+    out[x] = x >= pw ? out[x + round(depth*dm) - pw] : noise[x % pw]
+
+That recurrence forms per-row linked chains: every pixel's colour is the
+colour of a seed pixel (< pw) reached by following parent links
+``p(x) = x + shift(x) - pw``. Instead of a sequential scan (W dependent
+steps/row), we resolve all chains with **pointer doubling**: k =
+ceil(log2(W)) rounds of ``root = root[root]`` gathers, each a dense
+(H, W) take_along_axis -- TPU-friendly, identical results.
+
+Noise policy: the reference draws from a thread RNG (output.rs:163-171), so
+its output is not reproducible run-to-run. We use ``jax.random`` under an
+explicit seed: deterministic for a given (seed, size), documented behaviour
+difference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.ops.resize import depthmap_bilinear_resample
+
+
+def stereogram_geometry(output_width: int, amplitude: float):
+    """depth_multiplier and pattern_width (output.rs:160-161).
+
+    dm = W * amplitude; pw = round(2*dm + amplitude) with Rust's
+    round-half-away-from-zero (values are non-negative here).
+    """
+    import numpy as np
+
+    dm = np.float32(output_width) * np.float32(amplitude)
+    pw = int(math.floor(float(np.float32(dm * np.float32(2.0) + np.float32(amplitude))) + 0.5))
+    return float(dm), pw
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "pw", "dm"))
+def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
+    # normalised depth at every output pixel (output.rs:174-178)
+    dmin = jnp.min(depth)
+    dmax = jnp.max(depth)
+    sampled = depthmap_bilinear_resample(depth, out_h, out_w)
+    denom = dmax - dmin
+    dnorm = jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
+
+    noise = jax.random.randint(key, (out_h, max(pw, 1), 3), 0, 256, dtype=jnp.uint8)
+    if pw == 0:
+        # degenerate amplitude: every pixel keeps its own noise value
+        # (out[x] = out[x] leaves the initial noise copy, output.rs:172-185)
+        return jax.random.randint(key, (out_h, out_w, 3), 0, 256, dtype=jnp.uint8)
+
+    # Rust f32::round is half-away-from-zero; for non-negative values that
+    # is floor(v + 0.5) (jnp.round would round half-to-even).
+    shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.int32)
+    x = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
+    parent = jnp.where(x >= pw, x + shift - pw, x)
+
+    # pointer doubling: after ceil(log2(W)) squarings every chain has
+    # reached its fixpoint (all fixpoints are < pw)
+    root = parent
+    for _ in range(max(1, math.ceil(math.log2(max(out_w, 2))))):
+        root = jnp.take_along_axis(root, root, axis=1)
+
+    idx = jnp.broadcast_to(root[..., None], (out_h, out_w, 3))
+    return jnp.take_along_axis(noise, idx, axis=1)
+
+
+def synthesize_stereogram(
+    depth: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    amplitude: float,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """depth: (H, W) clamped inverse-depth grid; returns (out_h, out_w, 3) u8."""
+    dm, pw = stereogram_geometry(out_w, amplitude)
+    key = jax.random.PRNGKey(seed)
+    return _synthesize(depth, key, out_h, out_w, pw, dm)
+
+
+def reference_rows(depth_norm, noise, pw: int, dm: float):
+    """Sequential per-row reference of the reference's scan (for tests).
+
+    depth_norm: (H, W) normalised depth at output pixels; noise: (H, >=pw, 3)
+    u8. Pure numpy, mirrors output.rs:172-185.
+    """
+    import numpy as np
+
+    H, W = depth_norm.shape
+    out = np.zeros((H, W, 3), np.uint8)
+    for y in range(H):
+        for x in range(W):
+            if x >= pw:
+                shift = int(np.floor(depth_norm[y, x] * np.float32(dm) + 0.5))
+                out[y, x] = out[y, x + shift - pw]
+            else:
+                out[y, x] = noise[y, x % pw]
+    return out

@@ -1,0 +1,90 @@
+"""Top-level orchestration: image -> depth -> output file.
+
+Mirrors ``reconstruction::extract_depth`` (reconstruction.rs:155-205):
+load + preprocess the source image, derive the normalised focal length from
+EXIF/flag if available, run the model (FOV head otherwise), wrap the result
+in a DepthMap and dispatch the requested output.
+
+The image enters HBM once (the raw u8 decode) and everything through the
+final output pixels stays on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import ModelConfig, RuntimeConfig
+from matrix_eyes_tpu.io.image import SourceImage, load_source_image
+from matrix_eyes_tpu.models import depth_pro
+from matrix_eyes_tpu.ops.resize import resize_lanczos3, to_u8
+from matrix_eyes_tpu.output.depthmap import DepthMap, ImageOutputFormat, VertexMode
+from matrix_eyes_tpu.progress import SplitProgressListener
+
+
+@partial(jax.jit, static_argnames=("img_size", "dtype"))
+def preprocess_image(rgb_u8: jnp.ndarray, img_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Device preprocessing (reconstruction.rs:93-124): Lanczos3 resize to
+    the model resolution, round back to u8 (the reference resizes the u8
+    image before tensorising), scale to [0,1], normalise mean=std=0.5.
+    Returns (1, S, S, 3) NHWC."""
+    x = resize_lanczos3(rgb_u8.astype(jnp.float32), img_size, img_size)
+    x = to_u8(x).astype(jnp.float32)
+    x = x / 255.0
+    x = (x - 0.5) / 0.5
+    return x[None].astype(dtype)
+
+
+def extract_depth(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    source_path: str,
+    destination_path: str,
+    focal_length_35mm: Optional[float] = None,
+    image_format: ImageOutputFormat = ImageOutputFormat.DEPTH_MAP,
+    vertex_mode: VertexMode = VertexMode.COLOR,
+    resize_scale: Optional[float] = None,
+    stereo_amplitude: float = 1.0 / 16.0,
+    runtime: Optional[RuntimeConfig] = None,
+    progress=None,
+    source: Optional[SourceImage] = None,
+) -> None:
+    """Full pipeline for one image (reconstruction.rs:155-205)."""
+    runtime = runtime or RuntimeConfig()
+    pl = SplitProgressListener(progress)
+    pl_model, pl_out = pl.split_range(0.9)
+    pl_pre, pl_net = pl_model.split_range(0.05)
+
+    pl_pre.update_message("loading source image")
+    src = source if source is not None else load_source_image(source_path, focal_length_35mm)
+    f_norm = src.f_norm()
+    img = preprocess_image(jnp.asarray(src.rgb), cfg.img_size,
+                           dtype=runtime.resolved_dtype())
+    pl_pre.report_status(1.0)
+
+    pl_net.update_message("extracting depth")
+    use_flash = runtime.use_flash_attention()
+    if f_norm is not None:
+        inverse_depth = depth_pro.forward_with_fnorm(
+            cfg, params, img, jnp.float32(f_norm), use_flash)[0]
+    else:
+        inv, _fov_deg = depth_pro.forward_with_fov(cfg, params, img, use_flash)
+        inverse_depth = inv[0]
+    pl_net.report_status(1.0)
+
+    pl_out.update_message("writing output")
+    depth_map = DepthMap.new(inverse_depth, src.original_size)
+    depth_map.output_image(
+        destination_path,
+        source_path,
+        image_format=image_format,
+        vertex_mode=vertex_mode,
+        resize_scale=resize_scale,
+        amplitude=stereo_amplitude,
+        seed=runtime.seed,
+    )
+    pl_out.report_status(1.0)

@@ -236,6 +236,55 @@ def _convert_fov(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
     }
 
 
+def infer_config(flat: Dict[str, np.ndarray]) -> ModelConfig:
+    """Derive the ModelConfig from checkpoint tensor shapes.
+
+    The reference hard-codes its architecture; inferring it instead lets the
+    same CLI load scaled-down checkpoints (test fixtures) and future
+    variants. eps and highres block ids are not recoverable from shapes:
+    eps uses the DINOv2 value, highres ids scale like the production
+    network's (depth/4 - 1, depth/2 - 1) -> (5, 11) at depth 24.
+    """
+    def need(key: str) -> np.ndarray:
+        if key not in flat:
+            raise CheckpointMissingKeys([key])
+        return flat[key]
+
+    d = int(need("encoder.patch_encoder.cls_token").shape[-1])
+    n_tokens = int(need("encoder.patch_encoder.pos_embed").shape[1]) - 1
+    s = int(round(n_tokens ** 0.5))
+    patch = int(round((need("encoder.patch_encoder.patch_embed.proj.weight").shape[-1])))
+    depth = 1 + max(
+        (int(k.split(".")[3]) for k in flat
+         if k.startswith("encoder.patch_encoder.blocks.")),
+        default=0,
+    )
+    qkv_out = int(need("encoder.patch_encoder.blocks.0.attn.qkv.weight").shape[0])
+    assert qkv_out == 3 * d, "unexpected qkv shape"
+    head_dim = 64 if d % 64 == 0 else d // 2
+    num_heads = d // head_dim
+    mlp_hidden = int(need("encoder.patch_encoder.blocks.0.mlp.fc1.weight").shape[0])
+    ef0 = int(need("encoder.upsample_latent1.0.weight").shape[0])
+    ef1 = int(need("encoder.upsample0.0.weight").shape[0])
+    ef2 = int(need("encoder.upsample1.0.weight").shape[0])
+    ef3 = int(need("encoder.upsample2.0.weight").shape[0])
+    dec = int(need("head.0.weight").shape[1])
+    l0 = int(need("head.2.weight").shape[0])
+    l1 = int(need("head.4.weight").shape[0])
+    return ModelConfig(
+        vit_img_size=s * patch,
+        patch_size=patch,
+        depth=depth,
+        embed_dim=d,
+        num_heads=num_heads,
+        mlp_ratio=mlp_hidden // d,
+        encoder_feature_dims=(ef0, ef1, ef2, ef3),
+        decoder_features=dec,
+        head_last_dims=(l0, l1),
+        highres_block_ids=(max(0, depth // 4 - 1), max(1, depth // 2 - 1)),
+    )
+
+
 def convert_state_dict(
     cfg: ModelConfig,
     flat: Dict[str, np.ndarray],

@@ -1,0 +1,154 @@
+"""High-level checkpoint loading with per-part npz caching.
+
+Mirrors DepthProModelLoader::load_record (mod.rs:174-249): if a converted
+cache file ``<stem>-{part}.npz`` exists next to the checkpoint it is loaded
+directly; otherwise the ``.pt`` is parsed (once) and converted, and with
+``convert_checkpoints=True`` the cache files are written (the reference's
+``--convert-checkpoints`` writing ``depth_pro-{part}.mpk``,
+mod.rs:211-227,244-246). A ``<stem>-config.json`` carrying the inferred
+architecture is written alongside so cached parts remain loadable without
+the original ``.pt``.
+
+Cache format: one npz per part holding the converted (TPU-layout) leaves in
+the deterministic order of ``models.spec.param_spec``; bfloat16 leaves are
+stored as uint16 bit patterns with a dtype tag. Cached dtype is whatever the
+params were converted to; loading casts to the requested dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import ml_dtypes
+
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import ModelConfig
+from matrix_eyes_tpu.errors import LoaderError
+from matrix_eyes_tpu.models.spec import param_spec
+from matrix_eyes_tpu.pt.convert import PARTS, convert_state_dict, infer_config
+from matrix_eyes_tpu.pt.pickle_reader import read_pt_state_dict
+
+
+def _cache_path(checkpoint_path: str, part: str) -> str:
+    stem, _ = os.path.splitext(checkpoint_path)
+    return f"{stem}-{part}.npz"
+
+
+def _config_cache_path(checkpoint_path: str) -> str:
+    stem, _ = os.path.splitext(checkpoint_path)
+    return f"{stem}-config.json"
+
+
+def save_part_cache(path: str, part_params: Any) -> None:
+    leaves = jax.tree.leaves(part_params)
+    arrays: Dict[str, np.ndarray] = {}
+    dtypes = []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(str(a.dtype))
+        if a.dtype == ml_dtypes.bfloat16:
+            a = a.view(np.uint16)
+        arrays[f"a{i:04d}"] = a
+    arrays["manifest"] = np.frombuffer(
+        json.dumps({"dtypes": dtypes, "n": len(leaves)}).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_part_cache(path: str, part_spec: Any, dtype) -> Any:
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        leaves = []
+        for i in range(manifest["n"]):
+            a = z[f"a{i:04d}"]
+            if manifest["dtypes"][i] == "bfloat16":
+                a = a.view(ml_dtypes.bfloat16)
+            leaves.append(jnp.asarray(a, dtype=dtype))
+    spec_leaves, treedef = jax.tree.flatten(part_spec)
+    if len(spec_leaves) != len(leaves):
+        raise LoaderError(
+            f"cache {path} has {len(leaves)} tensors, model expects {len(spec_leaves)} "
+            "(stale cache? delete it to reconvert)")
+    for got, want in zip(leaves, spec_leaves):
+        if tuple(got.shape) != tuple(want.shape):
+            raise LoaderError(
+                f"cache {path}: tensor shape {got.shape} != expected {want.shape} "
+                "(stale cache? delete it to reconvert)")
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _load_config_cache(path: str) -> ModelConfig:
+    with open(path) as f:
+        d = json.load(f)
+    d["encoder_feature_dims"] = tuple(d["encoder_feature_dims"])
+    d["head_last_dims"] = tuple(d["head_last_dims"])
+    d["highres_block_ids"] = tuple(d["highres_block_ids"])
+    return ModelConfig(**d)
+
+
+def load_checkpoint(
+    checkpoint_path: str,
+    dtype=jnp.float32,
+    convert_checkpoints: bool = False,
+    parts: Sequence[str] = PARTS,
+    progress=None,
+    cfg: Optional[ModelConfig] = None,
+) -> Tuple[ModelConfig, Dict[str, Any]]:
+    """Load (and possibly cache-convert) model parameters.
+
+    Returns (cfg, params). The architecture is inferred from the checkpoint
+    shapes unless ``cfg`` is given; with only cache files present, the
+    config comes from ``<stem>-config.json``.
+    """
+    flat: Optional[Dict[str, np.ndarray]] = None
+
+    def read_flat() -> Dict[str, np.ndarray]:
+        nonlocal flat
+        if flat is None:
+            if progress is not None:
+                progress.update_message("reading checkpoint")
+            if not os.path.exists(checkpoint_path):
+                raise LoaderError(f"PyTorch store error: {checkpoint_path}: no such file")
+            flat = read_pt_state_dict(checkpoint_path)
+        return flat
+
+    if cfg is None:
+        ccache = _config_cache_path(checkpoint_path)
+        if not os.path.exists(checkpoint_path) and os.path.exists(ccache):
+            cfg = _load_config_cache(ccache)
+        else:
+            cfg = infer_config(read_flat())
+
+    spec = param_spec(cfg, include_fov="fov" in parts)
+    out: Dict[str, Any] = {}
+    uncached = []
+    for part in parts:
+        cpath = _cache_path(checkpoint_path, part)
+        if os.path.exists(cpath):
+            if progress is not None:
+                progress.update_message(f"loading cached {part}")
+            out[part] = load_part_cache(cpath, spec[part], dtype)
+        else:
+            uncached.append(part)
+
+    if uncached:
+        converted = convert_state_dict(cfg, read_flat(), dtype=dtype, parts=tuple(uncached))
+        for part in uncached:
+            out[part] = converted[part]
+            if convert_checkpoints:
+                if progress is not None:
+                    progress.update_message(f"caching converted {part}")
+                save_part_cache(_cache_path(checkpoint_path, part), converted[part])
+        if convert_checkpoints:
+            with open(_config_cache_path(checkpoint_path), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=1)
+
+    return cfg, {part: out[part] for part in parts}
