@@ -1,0 +1,209 @@
+"""CLI tests: flag parsing, exit codes, end-to-end runs on a tiny checkpoint."""
+
+import io
+import os
+import struct
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from matrix_eyes_tpu import cli
+from matrix_eyes_tpu.config import TINY
+
+import torch_ref
+
+
+# --- parsing ----------------------------------------------------------------
+
+def _parse(argv):
+    return cli.parse_args(argv, stdout=io.StringIO(), stderr=io.StringIO())
+
+
+def test_parse_defaults():
+    a = _parse(["in.jpg", "out.png"])
+    assert a.img_src == "in.jpg" and a.img_out == "out.png"
+    assert a.checkpoint_path == "./checkpoints/depth_pro.pt"
+    assert a.output_format == "depthmap"
+    assert a.vertex_mode == "vertex-colors"
+    assert a.stereo_amplitude == 1.0 / 16.0
+    assert a.resize_scale is None
+    assert a.focal_length is None
+
+
+def test_parse_all_flags():
+    a = _parse([
+        "--focal-length=28", "--checkpoint-path=/tmp/c.pt",
+        "--image-output-format=stereogram", "--resize-scale=2.0",
+        "--stereo-amplitude=0.1", "--mesh=texture-coordinates",
+        "--convert-checkpoints", "in.jpg", "out.png",
+    ])
+    assert a.focal_length == 28.0
+    assert a.checkpoint_path == "/tmp/c.pt"
+    assert a.output_format == "stereogram"
+    assert a.resize_scale == 2.0
+    assert a.stereo_amplitude == 0.1
+    assert a.vertex_mode == "texture-coordinates"
+    assert a.convert_checkpoints
+
+
+def test_parse_exit_codes():
+    with pytest.raises(SystemExit) as e:
+        _parse(["--help"])
+    assert e.value.code == 0
+    for argv in (
+        [],  # no source image
+        ["only_src.jpg"],  # no output image
+        ["a", "b", "c"],  # unexpected positional
+        ["--focal-length", "a", "b"],  # flag without value
+        ["--focal-length=abc", "a", "b"],  # bad value
+        ["--image-output-format=bmp", "a", "b"],  # bad format
+        ["--mesh=wireframe", "a", "b"],  # bad mesh mode
+    ):
+        with pytest.raises(SystemExit) as e:
+            _parse(argv)
+        assert e.value.code == 2, argv
+
+
+def test_parse_unknown_flag_warns_but_continues():
+    # main.rs:117-119: unsupported flags only warn
+    err = io.StringIO()
+    a = cli.parse_args(["--bogus=1", "in.jpg", "out.png"], stdout=io.StringIO(), stderr=err)
+    assert a.img_src == "in.jpg"
+    assert "Unsupported argument" in err.getvalue()
+
+
+def test_parse_flags_after_positional_are_positional():
+    # options are only recognised before the first positional (main.rs:51)
+    with pytest.raises(SystemExit) as e:
+        _parse(["in.jpg", "out.png", "--focal-length=28"])
+    assert e.value.code == 2
+
+
+# --- end-to-end -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=5)
+    ckpt = d / "tiny.pt"
+    torch.save(tm.state_dict(), str(ckpt))
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(40, 60, 3), dtype=np.uint8)
+    src = d / "src.jpg"
+    Image.fromarray(img).save(str(src), quality=95)
+    return d, str(ckpt), str(src)
+
+
+def _run(argv):
+    return cli.main(argv)
+
+
+def test_cli_depthmap_png(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "depth.png")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28", src, out])
+    assert rc == 0
+    with Image.open(out) as im:
+        assert im.format == "PNG"
+        assert im.size == (60, 40)  # original size restored
+
+
+def test_cli_stereogram(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "stereo.png")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--image-output-format=stereogram", "--resize-scale=1.5", src, out])
+    assert rc == 0
+    with Image.open(out) as im:
+        assert im.size == (90, 60)  # 1.5x
+
+
+def test_cli_fov_path(workdir):
+    # no focal length and no EXIF -> FOV head path
+    d, ckpt, src = workdir
+    out = str(d / "depth_fov.png")
+    rc = _run([f"--checkpoint-path={ckpt}", src, out])
+    assert rc == 0
+    assert os.path.exists(out)
+
+
+def test_cli_obj_mesh(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "mesh.obj")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28", "--mesh=plain", src, out])
+    assert rc == 0
+    text = open(out).read()
+    assert text.startswith("v ") or text.startswith("f ")
+    assert "\nf " in text
+    assert "vt" not in text
+    assert "e" not in text.split("\n")[0].split(" ", 1)[1]  # no exponent floats
+
+
+def test_cli_obj_texture_mesh_writes_mtl(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "tex.obj")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--mesh=texture-coordinates", src, out])
+    assert rc == 0
+    text = open(out).read()
+    assert text.startswith("mtllib tex.mtl\nusemtl Textured\n")
+    assert "\nvt " in text
+    mtl = open(str(d / "tex.mtl")).read()
+    assert "newmtl Textured" in mtl and f"map_Kd {src}" in mtl
+
+
+def test_cli_ply_mesh_binary_layout(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "mesh.ply")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28", src, out])
+    assert rc == 0
+    raw = open(out, "rb").read()
+    header_end = raw.index(b"end_header\n") + len(b"end_header\n")
+    header = raw[:header_end].decode()
+    assert header.startswith("ply\nformat binary_big_endian 1.0\n")
+    assert "property double x" in header
+    assert "property uchar red" in header  # default mesh mode = vertex-colors
+    nv = int(header.split("element vertex ")[1].split("\n")[0])
+    nf = int(header.split("element face ")[1].split("\n")[0])
+    body = raw[header_end:]
+    vertex_bytes = nv * (3 * 8 + 3)
+    face_bytes = nf * (1 + 3 * 4)
+    assert len(body) == vertex_bytes + face_bytes
+    # first face: uchar count == 3, big-endian u32 indices < nv
+    n, i0, i1, i2 = struct.unpack_from(">BIII", body, vertex_bytes)
+    assert n == 3 and max(i0, i1, i2) < nv
+
+
+def test_cli_convert_checkpoints_caches(workdir):
+    d, ckpt, src = workdir
+    out = str(d / "cached.png")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--convert-checkpoints", src, out])
+    assert rc == 0
+    stem = os.path.splitext(ckpt)[0]
+    for part in ("encoder", "decoder", "head"):
+        assert os.path.exists(f"{stem}-{part}.npz"), part
+    assert os.path.exists(f"{stem}-config.json")
+    # caches alone are enough: hide the .pt and run again
+    os.rename(ckpt, ckpt + ".hidden")
+    try:
+        rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28", src, out])
+        assert rc == 0
+    finally:
+        os.rename(ckpt + ".hidden", ckpt)
+
+
+def test_cli_missing_checkpoint_fails_with_1(workdir):
+    d, _, src = workdir
+    rc = _run([f"--checkpoint-path={d}/nope.pt", "--focal-length=28",
+               src, str(d / "x.png")])
+    assert rc == 1
+
+
+def test_cli_missing_image_fails_with_1(workdir):
+    d, ckpt, _ = workdir
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(d / "missing.jpg"), str(d / "x.png")])
+    assert rc == 1
