@@ -115,12 +115,20 @@ def forward_encodings(
     n0, n1, n2 = x0_patches.shape[0], x1_patches.shape[0], x2.shape[0]
     pyramid = jnp.concatenate([x0_patches, x1_patches, x2], axis=0)  # 35*B
 
+    # Multi-chip: annotate the patch batch with its mesh sharding, padding
+    # 35 -> next multiple of the data axis (no-op outside a
+    # parallel.patch_sharded context). XLA all-gathers at merge().
+    from matrix_eyes_tpu.parallel.sharding import shard_patches
+
+    pyramid, n_patches = shard_patches(pyramid)
+
     # --- shared patch encoder with highres intermediates (encoder.rs:252-256) ---
     encodings, highres = vit.forward_features(
         cfg, params["patch_encoder"], pyramid,
         intermediate_blocks=cfg.highres_block_ids, use_flash=use_flash,
     )
-    highres0, highres1 = highres
+    encodings = encodings[:n_patches]
+    highres0, highres1 = (h[:n_patches] for h in highres)
 
     enc_grid = reshape_feature(cfg, encodings)
     latent0 = merge(reshape_feature(cfg, highres0)[: batch_size * 25], batch_size, pad_hi)
