@@ -1,0 +1,94 @@
+"""Headline benchmark: one 1536^2 photo -> depth + stereogram on one chip.
+
+Measures the device pipeline steady-state wall-clock per image: Lanczos3
+preprocess + normalise, full Depth Pro forward (encoder, decoder, head)
+with FOV focal estimation, DepthMap clamp, and stereogram synthesis at the
+source resolution. The decoded photo lives in HBM; file decode/encode and
+host transfer are excluded (host-side serialisation is not the metric and
+the dev tunnel would dominate it).
+
+Methodology notes:
+* every iteration perturbs the photo on device and uses a fresh stereogram
+  seed, so no result (or relay-level) caching can short-circuit the run;
+  only a 4-byte scalar is uploaded per iteration and a checksum scalar read
+  back;
+* baseline: the reference publishes no timings (BASELINE.md); the
+  north-star target is < 1 s per image on one v5e chip, so
+  vs_baseline = 1.0 / measured_s (>1 = faster than target).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from matrix_eyes_tpu.config import DEPTH_PRO, RuntimeConfig
+    from matrix_eyes_tpu.models import depth_pro
+    from matrix_eyes_tpu.models.init import init_params_fast
+    from matrix_eyes_tpu.ops.stereogram import stereogram_geometry, _synthesize
+    from matrix_eyes_tpu.output.depthmap import _clamp_inverse_depth
+    from matrix_eyes_tpu.pipeline import preprocess_image
+
+    cfg = DEPTH_PRO
+    runtime = RuntimeConfig()
+    dtype = runtime.resolved_dtype()
+    use_flash = runtime.use_flash_attention()
+
+    params = jax.block_until_ready(init_params_fast(cfg, dtype=dtype))
+
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+    src_h, src_w = 3024, 4032  # typical 12MP photo
+    photo = jnp.asarray(rng.randint(0, 256, size=(src_h, src_w, 3), dtype=np.uint8))
+    photo.block_until_ready()
+    amplitude = 1.0 / 16.0
+    dm, pw = stereogram_geometry(src_w, amplitude)
+
+    @partial(jax.jit, static_argnames=())
+    def device_pipeline(photo_u8, perturb, key):
+        # perturb on device so every iteration is genuinely unique work
+        p = (photo_u8.astype(jnp.int32) + perturb) % 256
+        img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
+        inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
+        data = _clamp_inverse_depth.__wrapped__(inv[0])
+        stereo = _synthesize.__wrapped__(data, key, src_h, src_w, pw, dm)
+        return jnp.sum(stereo.astype(jnp.uint32))
+
+    checksum = device_pipeline(photo, jnp.int32(0), jax.random.PRNGKey(0))
+    _ = np.asarray(checksum)  # compile + warmup, hard sync
+
+    # Async completion signals can be optimistic through remote runtimes, so
+    # measure total wall time for N pipelined iterations (each with unique
+    # inputs) and force everything with one final host readback.
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    perturbs = [jnp.int32(rng.randint(1, 255)) for _ in range(iters)]
+    keys = [jax.random.PRNGKey(rng.randint(0, 2**31 - 1)) for _ in range(iters)]
+    for p, k in zip(perturbs, keys):
+        p.block_until_ready(), k.block_until_ready()
+    t0 = time.perf_counter()
+    sums = [device_pipeline(photo, p, k) for p, k in zip(perturbs, keys)]
+    _ = [np.asarray(s) for s in sums]
+    elapsed = (time.perf_counter() - t0) / iters
+
+    print(json.dumps({
+        "metric": "photo1536_to_depth_stereogram_wall_clock",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(1.0 / elapsed, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,37 @@
+"""Pallas flash-attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.ops.attention import attention_xla
+from matrix_eyes_tpu.ops.flash_attention import attention_flash
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 2, 577, 64),   # production token count
+    (2, 4, 65, 32),    # off-lane sizes exercise the padding path
+    (1, 1, 128, 64),   # exact multiple, no padding
+])
+def test_flash_matches_xla(shape):
+    rng = np.random.RandomState(0)
+    B, H, N, D = shape
+    q = jnp.asarray(rng.uniform(-1, 1, size=shape).astype(np.float32))
+    k = jnp.asarray(rng.uniform(-1, 1, size=shape).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1, 1, size=shape).astype(np.float32))
+    scale = 1.0 / D ** 0.5
+    want = attention_xla(q, k, v, scale)
+    got = attention_flash(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_flash_softmax_scale_position():
+    # scale applied to scores (kernel) vs to q (xla path) must agree
+    rng = np.random.RandomState(1)
+    shape = (1, 2, 100, 16)
+    q, k, v = (jnp.asarray(rng.uniform(-3, 3, size=shape).astype(np.float32))
+               for _ in range(3))
+    want = attention_xla(q, k, v, 0.25)
+    got = attention_flash(q, k, v, 0.25, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
