@@ -42,6 +42,20 @@ def stereogram_geometry(output_width: int, amplitude: float):
     return float(dm), pw
 
 
+def _max_shift(dm: float) -> int:
+    """Largest possible shift = round(1.0 * dm), Rust rounding."""
+    return int(math.floor(float(dm) + 0.5))
+
+
+def _doubling_iterations(out_w: int, pw: int, dm: float) -> int:
+    """Pointer-doubling rounds needed: chains step back by at least
+    pw - max_shift columns, so the longest chain is bounded and
+    ceil(log2(bound)) squarings reach every fixpoint."""
+    min_step = max(1, pw - _max_shift(dm))
+    max_chain = max(2, -(-out_w // min_step))
+    return max(1, math.ceil(math.log2(max_chain)))
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w", "pw", "dm"))
 def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
     # normalised depth at every output pixel (output.rs:174-178)
@@ -59,14 +73,23 @@ def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
 
     # Rust f32::round is half-away-from-zero; for non-negative values that
     # is floor(v + 0.5) (jnp.round would round half-to-even).
+    # Rust f32::round is half-away-from-zero; for non-negative values that
+    # is floor(v + 0.5) (jnp.round would round half-to-even).
     shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.int32)
+
+    win = _max_shift(dm) + 1
+    if jax.default_backend() == "tpu" and win <= 2048:
+        from matrix_eyes_tpu.ops.stereogram_kernel import linker_scan_tpu
+
+        return linker_scan_tpu(shift, noise, pw, win)
+
     x = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
     parent = jnp.where(x >= pw, x + shift - pw, x)
 
-    # pointer doubling: after ceil(log2(W)) squarings every chain has
-    # reached its fixpoint (all fixpoints are < pw)
+    # pointer doubling: chains step back >= pw - max_shift columns, so a
+    # bounded number of squarings reaches every fixpoint (all < pw)
     root = parent
-    for _ in range(max(1, math.ceil(math.log2(max(out_w, 2))))):
+    for _ in range(_doubling_iterations(out_w, pw, dm)):
         root = jnp.take_along_axis(root, root, axis=1)
 
     idx = jnp.broadcast_to(root[..., None], (out_h, out_w, 3))
