@@ -36,7 +36,8 @@ from matrix_eyes_tpu.ops.attention import attention
 Params = Dict[str, jnp.ndarray]
 
 
-def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool) -> jnp.ndarray:
+def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
+                  n_valid: int | None = None) -> jnp.ndarray:
     """One pre-norm transformer block (vit.rs:163-170)."""
     B, N, C = x.shape
     H = cfg.num_heads
@@ -47,7 +48,7 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool) 
     qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
     qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    o = attention(q, k, v, scale, use_flash=use_flash)
+    o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
     o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
     o = nn.linear(o, p["proj_w"], p["proj_b"])
     x = x + o * p["ls1"]
@@ -81,14 +82,14 @@ def prepare_tokens(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndar
 
 
 def _scan_blocks(cfg: ModelConfig, stacked: Params, x: jnp.ndarray, lo: int, hi: int,
-                 use_flash: bool) -> jnp.ndarray:
+                 use_flash: bool, n_valid: int | None = None) -> jnp.ndarray:
     """Run blocks [lo, hi) via lax.scan over their stacked parameters."""
     if hi <= lo:
         return x
     seg = {k: v[lo:hi] for k, v in stacked.items()}
 
     def body(carry, p):
-        return block_forward(cfg, p, carry, use_flash), None
+        return block_forward(cfg, p, carry, use_flash, n_valid), None
 
     out, _ = lax.scan(body, x, seg)
     return out
@@ -106,14 +107,27 @@ def forward_features(
     ``intermediate_blocks`` (must be sorted ascending).
     """
     tokens = prepare_tokens(cfg, params, x)
+    seq = tokens.shape[1]
+
+    # With the flash kernel, pad the token axis to a lane multiple ONCE for
+    # all blocks (instead of per-attention pad/slice -- that would move the
+    # full activation through HBM twice per block). Padded rows carry
+    # zeros; real tokens never attend to them (the kernel masks keys past
+    # n_valid), so they are inert and sliced off at the end.
+    n_valid = None
+    if use_flash and seq % 128 != 0:
+        n_valid = seq
+        pad = (seq + 127) // 128 * 128 - seq
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+
     stacked = params["blocks"]
     inters: List[jnp.ndarray] = []
     lo = 0
     for bid in intermediate_blocks:
-        tokens = _scan_blocks(cfg, stacked, tokens, lo, bid + 1, use_flash)
-        inters.append(tokens)
+        tokens = _scan_blocks(cfg, stacked, tokens, lo, bid + 1, use_flash, n_valid)
+        inters.append(tokens[:, :seq, :])
         lo = bid + 1
-    tokens = _scan_blocks(cfg, stacked, tokens, lo, cfg.depth, use_flash)
-    final = nn.layer_norm(tokens, params["norm"]["scale"], params["norm"]["bias"],
-                          cfg.layer_norm_eps)
+    tokens = _scan_blocks(cfg, stacked, tokens, lo, cfg.depth, use_flash, n_valid)
+    final = nn.layer_norm(tokens[:, :seq, :], params["norm"]["scale"],
+                          params["norm"]["bias"], cfg.layer_norm_eps)
     return final, inters

@@ -31,9 +31,14 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) 
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-              use_flash: bool = False) -> jnp.ndarray:
+              use_flash: bool = False, n_valid: int | None = None) -> jnp.ndarray:
+    """``n_valid``: true token count when the caller pre-padded the token
+    axis for the flash kernel (models/vit.py pads once for all 24 blocks);
+    the XLA path is only used unpadded."""
     if use_flash:
         from matrix_eyes_tpu.ops.flash_attention import attention_flash
 
-        return attention_flash(q, k, v, scale)
+        return attention_flash(q, k, v, scale, n_valid=n_valid)
+    assert n_valid is None or n_valid == q.shape[2], (
+        "padded tokens require the flash kernel's key masking")
     return attention_xla(q, k, v, scale)

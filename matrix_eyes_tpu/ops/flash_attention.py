@@ -58,12 +58,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid", "interpret"))
 def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-                    interpret: bool = False) -> jnp.ndarray:
+                    n_valid: int | None = None, interpret: bool = False) -> jnp.ndarray:
     """q, k, v: (B, H, N, D); returns (B, H, N, D). Same semantics as
-    ops.attention.attention_xla (vit.rs:57-76)."""
+    ops.attention.attention_xla (vit.rs:57-76).
+
+    ``n_valid``: number of real tokens when the caller already padded the
+    token axis (keys beyond it are masked out); defaults to N.
+    """
     B, H, N, D = q.shape
+    n_valid = N if n_valid is None else n_valid
     n_pad = _round_up(N, 128)
     if n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
@@ -76,7 +81,7 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
     kf = k.reshape(bh, n_pad, D)
     vf = v.reshape(bh, n_pad, D)
 
-    kernel = functools.partial(_attention_kernel, scale=float(scale), n_valid=N)
+    kernel = functools.partial(_attention_kernel, scale=float(scale), n_valid=n_valid)
     spec = pl.BlockSpec((1, n_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,

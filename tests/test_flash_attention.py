@@ -26,6 +26,32 @@ def test_flash_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+def test_vit_flash_path_matches_xla_path():
+    # the whole ViT with once-padded tokens + masked flash kernel must match
+    # the unpadded XLA path
+    from jax.experimental.pallas import tpu as pltpu
+
+    from matrix_eyes_tpu.config import TINY
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+
+    cfg = TINY
+    p = init_params(cfg, seed=3)["encoder"]["patch_encoder"]
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    ref_final, ref_inters = vit.forward_features(cfg, p, x, cfg.highres_block_ids,
+                                                 use_flash=False)
+    with pltpu.force_tpu_interpret_mode():
+        got_final, got_inters = vit.forward_features(cfg, p, x, cfg.highres_block_ids,
+                                                     use_flash=True)
+    np.testing.assert_allclose(np.asarray(got_final), np.asarray(ref_final),
+                               rtol=2e-5, atol=2e-6)
+    for g, r in zip(got_inters, ref_inters):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-6)
+
+
 def test_flash_softmax_scale_position():
     # scale applied to scores (kernel) vs to q (xla path) must agree
     rng = np.random.RandomState(1)
