@@ -41,6 +41,7 @@ Options:
       --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16]
       --seed=<SEED>                       Stereogram noise seed [default: 0]
       --no-flash-attention                Disable the Pallas flash-attention kernel
+      --profile=<DIR>                     Write a jax.profiler trace of the run to DIR
       --help                              Print help"""
 
 
@@ -56,6 +57,7 @@ class Args:
     dtype: Optional[str] = None
     seed: int = 0
     flash_attention: Optional[bool] = None
+    profile_dir: Optional[str] = None
     img_src: str = ""
     img_out: str = ""
 
@@ -125,6 +127,8 @@ def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
                 args.dtype = value
             elif name == "--seed":
                 args.seed = parse_value(name, value, int)
+            elif name == "--profile":
+                args.profile_dir = value
             else:
                 # the reference only warns and keeps going (main.rs:117-119)
                 print(f"Unsupported argument {arg}", file=stderr)
@@ -197,7 +201,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     pb = ConsoleProgressReporter()
     try:
-        run(args, progress=pb)
+        if args.profile_dir:
+            # Tracing subsystem: the reference has none (SURVEY.md section 5);
+            # here a full device trace is one flag away.
+            import contextlib
+
+            import jax
+
+            ctx = jax.profiler.trace(args.profile_dir)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            run(args, progress=pb)
     except MatrixEyesError as err:
         pb.finish_and_clear()
         print(f"Reconstruction failed: {err}")
