@@ -46,10 +46,17 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
 
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
     qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
-    qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
-    o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+    from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
+
+    if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+        # fused kernel reads heads straight out of the qkv layout -- no
+        # (3, B, H, N, D) transpose and no head-merge afterwards
+        o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+    else:
+        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
     o = nn.linear(o, p["proj_w"], p["proj_b"])
     x = x + o * p["ls1"]
 

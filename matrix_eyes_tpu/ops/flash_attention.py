@@ -27,12 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    q = q_ref[0]  # (N_pad, D)
-    k = k_ref[0]
-    v = v_ref[0]
+def _one_head(q, k, v, scale: float, n_valid: int):
+    """(N, D) single-head attention, scores in f32 on the MXU."""
     n_pad = q.shape[0]
-
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -46,12 +43,27 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         p.astype(q.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    o_ref[0] = _one_head(q_ref[0], k_ref[0], v_ref[0], scale, n_valid).astype(o_ref.dtype)
+
+
+def _attention_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, o_ref, *,
+                          scale: float, n_valid: int, heads_per_block: int):
+    """Block holds ``heads_per_block`` heads side by side on the feature
+    axis (so the block width is a lane multiple); attend each in turn."""
+    d = qkv_q_ref.shape[2] // heads_per_block
+    for h in range(heads_per_block):
+        sl = slice(h * d, (h + 1) * d)
+        o = _one_head(qkv_q_ref[0, :, sl], qkv_k_ref[0, :, sl], qkv_v_ref[0, :, sl],
+                      scale, n_valid)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,3 +111,69 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
 
     out = out.reshape(B, H, n_pad, D)
     return out[:, :, :N, :]
+
+
+def qkv_fusable(num_heads: int, head_dim: int) -> bool:
+    """True if heads can be grouped into lane-aligned (128-divisible)
+    feature blocks for attention_flash_qkv."""
+    hpb = 1
+    while (hpb * head_dim) % 128 != 0 and hpb < num_heads:
+        hpb += 1
+    return (hpb * head_dim) % 128 == 0 and num_heads % hpb == 0
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "n_valid", "interpret"))
+def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
+                        n_valid: int | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused attention straight from the qkv projection's output layout.
+
+    qkv: (B, N, 3*C) with the feature axis ordered [q|k|v] x [head] x [dim]
+    (exactly what ``x @ qkv_w`` produces, vit.rs:60-64). N must be a lane
+    multiple (models/vit.py pads once); ``n_valid`` masks padded keys.
+    Returns (B, N, C) -- token-major, ready for the output projection.
+
+    Compared to ``attention_flash`` this removes every layout change around
+    the kernel: the (B, N, 3C) -> (3, B, H, N, D) transpose, the kernel
+    input reshape and the output head-merge transpose are all replaced by
+    BlockSpec column indexing into the qkv buffer (zero data movement).
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    H = num_heads
+    n_valid = N if n_valid is None else n_valid
+    if N % 128 != 0:
+        raise ValueError(f"token axis must be lane-aligned, got {N}")
+    # Mosaic wants lane-aligned block widths: group heads until the block
+    # spans a multiple of 128 features (2 heads at D=64).
+    hpb = 1
+    while (hpb * D) % 128 != 0 and hpb < H:
+        hpb += 1
+    if H % hpb != 0 or (hpb * D) % 128 != 0:
+        raise ValueError(f"cannot lane-align heads: H={H} D={D}")
+    n_blocks = H // hpb
+    W = hpb * D
+
+    kernel = functools.partial(_attention_qkv_kernel, scale=float(scale),
+                               n_valid=n_valid, heads_per_block=hpb)
+
+    def col(sec):  # feature-axis block index for q/k/v section + head group
+        return lambda b, h: (b, 0, sec * n_blocks + h)
+
+    spec = lambda sec: pl.BlockSpec((1, N, W), col(sec), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, N, W), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (2 * N * N * D),
+            bytes_accessed=4 * B * N * C * qkv.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out

@@ -26,6 +26,23 @@ def test_flash_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+def test_flash_qkv_matches_xla():
+    # fused-layout kernel: heads read straight out of the (B, N, 3C) buffer
+    from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
+
+    B, H, N, D = 3, 4, 128, 64
+    assert qkv_fusable(H, D)
+    C = H * D
+    rng = np.random.RandomState(5)
+    qkv = jnp.asarray(rng.uniform(-1, 1, (B, N, 3 * C)).astype(np.float32))
+    got = attention_flash_qkv(qkv, H, 0.125, interpret=True)  # (B, N, C)
+
+    q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, N, H, D).transpose(0, 2, 1, 3)
+               for i in range(3))
+    want = attention_xla(q, k, v, 0.125).transpose(0, 2, 1, 3).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
 def test_vit_flash_path_matches_xla_path():
     # the whole ViT with once-padded tokens + masked flash kernel must match
     # the unpadded XLA path
