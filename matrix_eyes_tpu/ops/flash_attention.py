@@ -122,9 +122,11 @@ def qkv_fusable(num_heads: int, head_dim: int) -> bool:
     return (hpb * head_dim) % 128 == 0 and num_heads % hpb == 0
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "n_valid", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "n_valid",
+                                             "heads_per_block", "interpret"))
 def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
                         n_valid: int | None = None,
+                        heads_per_block: int | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """Fused attention straight from the qkv projection's output layout.
 
@@ -146,10 +148,23 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     if N % 128 != 0:
         raise ValueError(f"token axis must be lane-aligned, got {N}")
     # Mosaic wants lane-aligned block widths: group heads until the block
-    # spans a multiple of 128 features (2 heads at D=64).
-    hpb = 1
-    while (hpb * D) % 128 != 0 and hpb < H:
-        hpb += 1
+    # spans a multiple of 128 features; beyond alignment, larger groups
+    # amortise per-program overhead (measured best at ~1024-wide blocks for
+    # ViT-L's 16x64 heads), so grow while the block stays <= 1024 wide.
+    if heads_per_block:
+        hpb = heads_per_block
+        while (hpb * D) % 128 != 0 and hpb < H:
+            hpb += 1
+    else:
+        hpb = 1
+        while (hpb * D) % 128 != 0 and hpb < H:
+            hpb += 1
+        best = hpb
+        while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= 1024 \
+                and (hpb * 2 * D) % 128 == 0:
+            hpb *= 2
+            best = hpb
+        hpb = best
     if H % hpb != 0 or (hpb * D) % 128 != 0:
         raise ValueError(f"cannot lane-align heads: H={H} D={D}")
     n_blocks = H // hpb
