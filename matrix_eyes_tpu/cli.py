@@ -18,7 +18,7 @@ cargo features, reconstruction.rs:15-72): ``--dtype=f32|bf16|f16``,
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from matrix_eyes_tpu import __version__

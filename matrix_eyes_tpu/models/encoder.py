@@ -23,7 +23,7 @@ feature pixels of overlap (encoder.rs:266-294: 3 and 6 for 24-token grids).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ square-resize squish.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import numpy as np
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Dict, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

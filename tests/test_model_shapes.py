@@ -1,6 +1,5 @@
 """Shape-flow tests for the full model stack on the TINY config."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from matrix_eyes_tpu.config import TINY
-from matrix_eyes_tpu.models import depth_pro, encoder
+from matrix_eyes_tpu.models import depth_pro
 from matrix_eyes_tpu.models.init import init_params
 from matrix_eyes_tpu.parallel import (
     make_mesh,

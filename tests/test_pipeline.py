@@ -3,7 +3,6 @@
 import math
 
 import numpy as np
-import pytest
 from PIL import Image
 
 import jax.numpy as jnp
@@ -11,7 +10,7 @@ import jax.numpy as jnp
 from matrix_eyes_tpu.io.image import load_source_image
 from matrix_eyes_tpu.output.depthmap import DepthMap
 from matrix_eyes_tpu.pipeline import preprocess_image
-from matrix_eyes_tpu.ops.resize import _lanczos3_matrix
+
 
 
 def _save_jpeg_with_exif(path, img, focal_35mm=None, orientation=None):
