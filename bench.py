@@ -35,7 +35,9 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from matrix_eyes_tpu.config import DEPTH_PRO, RuntimeConfig
+    from matrix_eyes_tpu.config import DEPTH_PRO, RuntimeConfig, enable_compilation_cache
+
+    enable_compilation_cache()
     from matrix_eyes_tpu.models import depth_pro
     from matrix_eyes_tpu.models.init import init_params_fast
     from matrix_eyes_tpu.ops.stereogram import stereogram_geometry, _synthesize

@@ -149,7 +149,13 @@ def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
 def run(args: Args, progress=None) -> None:
     """Load checkpoint parts (FOV only when needed, like mod.rs:340-359),
     then run the pipeline."""
-    from matrix_eyes_tpu.config import RuntimeConfig, parse_dtype
+    from matrix_eyes_tpu.config import (
+        RuntimeConfig,
+        enable_compilation_cache,
+        parse_dtype,
+    )
+
+    enable_compilation_cache()
     from matrix_eyes_tpu.io.image import load_source_image
     from matrix_eyes_tpu.output.depthmap import ImageOutputFormat, VertexMode
     from matrix_eyes_tpu.pipeline import extract_depth

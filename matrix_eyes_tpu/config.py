@@ -100,6 +100,27 @@ TINY = ModelConfig(
 )
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persist compiled XLA executables across processes.
+
+    The full-size model takes minutes to compile; without a persistent
+    cache every CLI invocation pays it again (the reference's analog is
+    its ahead-of-time compiled binary). Safe to call multiple times.
+    """
+    import os
+
+    if cache_dir is None:
+        base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        cache_dir = os.path.join(base, "matrix-eyes-tpu", "jax-cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # caching is best-effort
+
+
 def default_compute_dtype() -> jnp.dtype:
     """bf16 on TPU (MXU-native), f32 elsewhere."""
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
