@@ -124,7 +124,7 @@ def _obj_python(path, mesh, x, y, z, rgb, uvs, texture, stem) -> None:
     out = []
     if texture:
         out.append(f"mtllib {stem}.mtl")
-        out.append(f"usemtl Textured")
+        out.append("usemtl Textured")
         u, v = uvs
         for i in range(mesh.nvertices):
             out.append(f"vt {format_f64(float(np.float64(u[i])))} "
