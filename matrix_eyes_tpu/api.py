@@ -1,0 +1,110 @@
+"""Library API: load the model once, process many photos.
+
+The CLI (one process per image, like the reference binary) pays checkpoint
+load + compile per invocation; for serving/batch workloads this class
+amortises both:
+
+    from matrix_eyes_tpu.api import MatrixEyes
+
+    me = MatrixEyes("./checkpoints/depth_pro.pt")
+    depth = me.inverse_depth("photo.jpg")            # (1536, 1536) np.f32
+    me.process("photo.jpg", "out.png", image_format="stereogram")
+    me.process("photo.jpg", "mesh.obj", vertex_mode="plain")
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import (
+    ModelConfig,
+    RuntimeConfig,
+    enable_compilation_cache,
+    parse_dtype,
+)
+from matrix_eyes_tpu.io.image import SourceImage, load_source_image
+from matrix_eyes_tpu.models import depth_pro
+from matrix_eyes_tpu.output.depthmap import DepthMap, ImageOutputFormat, VertexMode
+from matrix_eyes_tpu.pipeline import preprocess_image
+from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+
+class MatrixEyes:
+    def __init__(
+        self,
+        checkpoint_path: str,
+        dtype: Union[str, Any, None] = None,
+        seed: int = 0,
+        flash_attention: Optional[bool] = None,
+        convert_checkpoints: bool = False,
+        cfg: Optional[ModelConfig] = None,
+    ):
+        enable_compilation_cache()
+        if isinstance(dtype, str):
+            dtype = parse_dtype(dtype)
+        self.runtime = RuntimeConfig(dtype=dtype, seed=seed,
+                                     flash_attention=flash_attention)
+        self.cfg, self.params = load_checkpoint(
+            checkpoint_path,
+            dtype=self.runtime.resolved_dtype(),
+            convert_checkpoints=convert_checkpoints,
+            cfg=cfg,
+        )
+
+    # -- depth -------------------------------------------------------------
+
+    def _load(self, image: Union[str, np.ndarray],
+              focal_length_35mm: Optional[float]) -> SourceImage:
+        if isinstance(image, str):
+            return load_source_image(image, focal_length_35mm)
+        rgb = np.asarray(image, dtype=np.uint8)
+        return SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
+                           focal_length_35mm=focal_length_35mm)
+
+    def depth_map(self, image: Union[str, np.ndarray],
+                  focal_length_35mm: Optional[float] = None) -> DepthMap:
+        """Run the network; returns the device-resident DepthMap."""
+        src = self._load(image, focal_length_35mm)
+        img = preprocess_image(jnp.asarray(src.rgb), self.cfg.img_size,
+                               dtype=self.runtime.resolved_dtype())
+        use_flash = self.runtime.use_flash_attention()
+        f_norm = src.f_norm()
+        if f_norm is not None:
+            inv = depth_pro.forward_with_fnorm(
+                self.cfg, self.params, img, jnp.float32(f_norm), use_flash)[0]
+        else:
+            inv = depth_pro.forward_with_fov(self.cfg, self.params, img, use_flash)[0][0]
+        return DepthMap.new(inv, src.original_size)
+
+    def inverse_depth(self, image: Union[str, np.ndarray],
+                      focal_length_35mm: Optional[float] = None) -> np.ndarray:
+        """Clamped inverse depth (model grid resolution) as numpy f32."""
+        return self.depth_map(image, focal_length_35mm).to_numpy()
+
+    # -- full pipeline -----------------------------------------------------
+
+    def process(
+        self,
+        source_path: str,
+        destination_path: str,
+        focal_length_35mm: Optional[float] = None,
+        image_format: str = "depthmap",
+        vertex_mode: str = "vertex-colors",
+        resize_scale: Optional[float] = None,
+        stereo_amplitude: float = 1.0 / 16.0,
+    ) -> None:
+        """Photo -> output file, same dispatch as the CLI (output.rs:100-121)."""
+        dm = self.depth_map(source_path, focal_length_35mm)
+        dm.output_image(
+            destination_path,
+            source_path,
+            image_format=ImageOutputFormat(image_format),
+            vertex_mode=VertexMode(vertex_mode),
+            resize_scale=resize_scale,
+            amplitude=stereo_amplitude,
+            seed=self.runtime.seed,
+        )
