@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -49,8 +48,16 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU, matching torch nn.GELU / Burn gelu (vit.rs:121)."""
-    return jax.nn.gelu(x.astype(ACC_T), approximate=False).astype(x.dtype)
+    """Exact (erf) GELU, matching torch nn.GELU / Burn gelu (vit.rs:121).
+
+    Written as 0.5*x*(1 + erf(x/sqrt(2))) -- torch's exact formulation --
+    rather than jax.nn.gelu's erfc variant: identical math, but XLA:TPU
+    fuses this form cleanly (jax.nn.gelu's lowering materialises an f32
+    copy of the 4x-wide MLP activation, ~12 ms/image at ViT-L x35 scale).
+    """
+    xf = x.astype(ACC_T)
+    y = xf * 0.5 * (1.0 + lax.erf(xf * 0.7071067811865476))
+    return y.astype(x.dtype)
 
 
 def conv2d(
