@@ -149,8 +149,9 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
         raise ValueError(f"token axis must be lane-aligned, got {N}")
     # Mosaic wants lane-aligned block widths: group heads until the block
     # spans a multiple of 128 features; beyond alignment, larger groups
-    # amortise per-program overhead (measured best at ~1024-wide blocks for
-    # ViT-L's 16x64 heads), so grow while the block stays <= 1024 wide.
+    # amortise per-program overhead. Cap blocks at 512 features: 1024-wide
+    # blocks measured <1% faster but sit at the edge of the 16 MB VMEM
+    # budget (q/k/v/o double-buffers + two f32 score tiles).
     if heads_per_block:
         hpb = heads_per_block
         while (hpb * D) % 128 != 0 and hpb < H:
@@ -160,7 +161,7 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
         while (hpb * D) % 128 != 0 and hpb < H:
             hpb += 1
         best = hpb
-        while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= 1024 \
+        while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= 512 \
                 and (hpb * 2 * D) % 128 == 0:
             hpb *= 2
             best = hpb
