@@ -37,3 +37,13 @@ def test_bf16_depth_close_to_f32():
     # with random weights; bound the bulk of the distribution instead
     assert np.quantile(rel, 0.99) < 0.25, np.quantile(rel, 0.99)
     assert np.isfinite(a16).all()
+
+
+def test_f16_path_runs():
+    # the reference's f16 builds are a supported dtype here too
+    cfg = TINY
+    params = init_params(cfg, seed=9, dtype=jnp.float16)
+    rng = np.random.RandomState(1)
+    img = rng.uniform(-1, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(np.float16)
+    inv = depth_pro.forward_with_fnorm(cfg, params, jnp.asarray(img), jnp.float32(0.7))
+    assert np.isfinite(np.asarray(inv)).all()

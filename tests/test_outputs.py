@@ -186,3 +186,12 @@ def test_format_f64_roundtrip_random():
         s = format_f64(v)
         assert "e" not in s and "E" not in s
         assert float(s) == v, (v, s)
+
+
+def test_stereogram_seed_determinism():
+    grid = jnp.asarray(np.random.RandomState(7).uniform(0.1, 5, (16, 16)).astype(np.float32))
+    a = np.asarray(synthesize_stereogram(grid, 20, 50, 0.1, seed=42))
+    b = np.asarray(synthesize_stereogram(grid, 20, 50, 0.1, seed=42))
+    c = np.asarray(synthesize_stereogram(grid, 20, 50, 0.1, seed=43))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)

@@ -106,3 +106,20 @@ def test_stereogram_render_resize_scale_rounding():
     out = dm.render_stereogram(1.5, 0.1, seed=0)
     # Rust rounds half away from zero: 11*1.5=16.5 -> 17 (not 16)
     assert out.shape == (11, 17, 3)  # 7*1.5=10.5 -> 11 rows
+
+
+def test_grayscale_and_palette_inputs(tmp_path):
+    from matrix_eyes_tpu.io.image import load_source_image
+    from PIL import Image
+    import numpy as np
+
+    g = np.random.RandomState(5).randint(0, 256, (20, 30), np.uint8)
+    p1 = str(tmp_path / "gray.png")
+    Image.fromarray(g, mode="L").save(p1)
+    src = load_source_image(p1)
+    assert src.rgb.shape == (20, 30, 3)
+
+    p2 = str(tmp_path / "pal.png")
+    Image.fromarray(np.stack([g] * 3, -1)).convert("P").save(p2)
+    src = load_source_image(p2)
+    assert src.rgb.shape == (20, 30, 3)

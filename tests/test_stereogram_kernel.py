@@ -14,6 +14,8 @@ from matrix_eyes_tpu.ops.stereogram_kernel import linker_scan_tpu
 
 
 @pytest.mark.parametrize("H,W,amplitude", [
+    (12, 256, 0.02),   # tiny pattern width
+    (6, 33, 0.45),     # extreme amplitude, wide window
     (5, 64, 0.11),
     (130, 101, 0.0625),   # rows > one lane tile
     (8, 40, 0.3),
