@@ -166,11 +166,44 @@ def run(args: Args, progress=None) -> None:
         seed=args.seed,
         flash_attention=args.flash_attention,
     )
-    src = load_source_image(args.img_src, args.focal_length)
+
+    import os
+
+    batch = os.path.isdir(args.img_src)
+    if batch:
+        # Batch mode (beyond the reference, which is one image per process):
+        # source directory + output directory, one model load for all
+        # images, outputs named after the sources.
+        if not os.path.isdir(args.img_out):
+            from matrix_eyes_tpu.errors import ReconstructionError
+
+            raise ReconstructionError(
+                f"IO error: {args.img_out} must be an existing directory when "
+                "the source is a directory")
+        exts = (".jpg", ".jpeg", ".png")
+        sources = sorted(
+            os.path.join(args.img_src, n) for n in os.listdir(args.img_src)
+            if n.lower().endswith(exts))
+        if not sources:
+            from matrix_eyes_tpu.errors import ReconstructionError
+
+            raise ReconstructionError(f"IO error: no images in {args.img_src}")
+        jobs = []
+        out_ext = ".png" if args.output_format in ("depthmap", "stereogram") else ""
+        for s in sources:
+            stem = os.path.splitext(os.path.basename(s))[0]
+            jobs.append((s, os.path.join(args.img_out, stem + (out_ext or ".png")), None))
+    else:
+        jobs = [(args.img_src, args.img_out,
+                 load_source_image(args.img_src, args.focal_length))]
+
+    # FOV weights are only needed without a known focal length
+    # (mod.rs:340-359's lazy fov load); in batch mode any image may lack
+    # EXIF, so load fov unless a focal length was given explicitly.
     parts = ("encoder", "decoder", "head")
-    if src.f_norm() is None:
-        # FOV weights are only needed without a known focal length
-        # (mod.rs:340-359's lazy fov load).
+    need_fov = (args.focal_length is None if batch
+                else jobs[0][2].f_norm() is None)
+    if need_fov:
         parts = parts + ("fov",)
     cfg, params = load_checkpoint(
         args.checkpoint_path,
@@ -179,20 +212,21 @@ def run(args: Args, progress=None) -> None:
         parts=parts,
         progress=progress,
     )
-    extract_depth(
-        cfg,
-        params,
-        args.img_src,
-        args.img_out,
-        focal_length_35mm=args.focal_length,
-        image_format=ImageOutputFormat(args.output_format),
-        vertex_mode=VertexMode(args.vertex_mode),
-        resize_scale=args.resize_scale,
-        stereo_amplitude=args.stereo_amplitude,
-        runtime=runtime,
-        progress=progress,
-        source=src,
-    )
+    for src_path, out_path, src in jobs:
+        extract_depth(
+            cfg,
+            params,
+            src_path,
+            out_path,
+            focal_length_35mm=args.focal_length,
+            image_format=ImageOutputFormat(args.output_format),
+            vertex_mode=VertexMode(args.vertex_mode),
+            resize_scale=args.resize_scale,
+            stereo_amplitude=args.stereo_amplitude,
+            runtime=runtime,
+            progress=progress,
+            source=src,
+        )
 
 
 def main(argv: Optional[List[str]] = None) -> int:

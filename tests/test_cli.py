@@ -207,3 +207,31 @@ def test_cli_missing_image_fails_with_1(workdir):
     rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
                str(d / "missing.jpg"), str(d / "x.png")])
     assert rc == 1
+
+
+def test_cli_batch_directory_mode(workdir, tmp_path):
+    d, ckpt, src = workdir
+    import shutil
+
+    srcdir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    srcdir.mkdir()
+    outdir.mkdir()
+    shutil.copy(src, str(srcdir / "a.jpg"))
+    shutil.copy(src, str(srcdir / "b.jpg"))
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(outdir)])
+    assert rc == 0
+    assert (outdir / "a.png").exists() and (outdir / "b.png").exists()
+
+
+def test_cli_batch_requires_out_directory(workdir, tmp_path):
+    d, ckpt, src = workdir
+    import shutil
+
+    srcdir = tmp_path / "in2"
+    srcdir.mkdir()
+    shutil.copy(src, str(srcdir / "a.jpg"))
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(tmp_path / "not_a_dir.png")])
+    assert rc == 1
