@@ -112,7 +112,7 @@ def forward_encodings(
     # --- overlapping patch split (encoder.rs:142-156, 238-250) ---
     x0_patches = split(x0, P, 4)  # 25*B
     x1_patches = split(x1, P, 2)  # 9*B
-    n0, n1, n2 = x0_patches.shape[0], x1_patches.shape[0], x2.shape[0]
+    n0, n1 = x0_patches.shape[0], x1_patches.shape[0]
     pyramid = jnp.concatenate([x0_patches, x1_patches, x2], axis=0)  # 35*B
 
     # Multi-chip: annotate the patch batch with its mesh sharding, padding

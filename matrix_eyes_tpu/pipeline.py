@@ -58,32 +58,55 @@ def extract_depth(
     pl_model, pl_out = pl.split_range(0.9)
     pl_pre, pl_net = pl_model.split_range(0.05)
 
+    import sys
+
+    from matrix_eyes_tpu.errors import MatrixEyesError, ReconstructionError
+
+    def stage_error(msg: str, err: Exception):
+        print(f"{msg}: {err}", file=sys.stderr)
+        if isinstance(err, MatrixEyesError):
+            return err
+        return ReconstructionError(f"{msg}: {err}")
+
+    # Stage-specific failure reporting mirrors the reference
+    # (reconstruction.rs:167-203: each stage eprintln's its own message
+    # before the error propagates to main's exit(1)).
     pl_pre.update_message("loading source image")
-    src = source if source is not None else load_source_image(source_path, focal_length_35mm)
-    f_norm = src.f_norm()
-    img = preprocess_image(jnp.asarray(src.rgb), cfg.img_size,
-                           dtype=runtime.resolved_dtype())
+    try:
+        src = source if source is not None else load_source_image(
+            source_path, focal_length_35mm)
+        f_norm = src.f_norm()
+        img = preprocess_image(jnp.asarray(src.rgb), cfg.img_size,
+                               dtype=runtime.resolved_dtype())
+    except Exception as err:
+        raise stage_error("Failed to load source image", err) from err
     pl_pre.report_status(1.0)
 
     pl_net.update_message("extracting depth")
-    use_flash = runtime.use_flash_attention()
-    if f_norm is not None:
-        inverse_depth = depth_pro.forward_with_fnorm(
-            cfg, params, img, jnp.float32(f_norm), use_flash)[0]
-    else:
-        inv, _fov_deg = depth_pro.forward_with_fov(cfg, params, img, use_flash)
-        inverse_depth = inv[0]
+    try:
+        use_flash = runtime.use_flash_attention()
+        if f_norm is not None:
+            inverse_depth = depth_pro.forward_with_fnorm(
+                cfg, params, img, jnp.float32(f_norm), use_flash)[0]
+        else:
+            inv, _fov_deg = depth_pro.forward_with_fov(cfg, params, img, use_flash)
+            inverse_depth = inv[0]
+        depth_map = DepthMap.new(inverse_depth, src.original_size)
+    except Exception as err:
+        raise stage_error("Failed to process image", err) from err
     pl_net.report_status(1.0)
 
     pl_out.update_message("writing output")
-    depth_map = DepthMap.new(inverse_depth, src.original_size)
-    depth_map.output_image(
-        destination_path,
-        source_path,
-        image_format=image_format,
-        vertex_mode=vertex_mode,
-        resize_scale=resize_scale,
-        amplitude=stereo_amplitude,
-        seed=runtime.seed,
-    )
+    try:
+        depth_map.output_image(
+            destination_path,
+            source_path,
+            image_format=image_format,
+            vertex_mode=vertex_mode,
+            resize_scale=resize_scale,
+            amplitude=stereo_amplitude,
+            seed=runtime.seed,
+        )
+    except Exception as err:
+        raise stage_error("Failed to output result", err) from err
     pl_out.report_status(1.0)
