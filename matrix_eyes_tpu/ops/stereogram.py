@@ -65,7 +65,6 @@ def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
     denom = dmax - dmin
     dnorm = jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
 
-    noise = jax.random.randint(key, (out_h, max(pw, 1), 3), 0, 256, dtype=jnp.uint8)
     if pw == 0:
         # degenerate amplitude: every pixel keeps its own noise value
         # (out[x] = out[x] leaves the initial noise copy, output.rs:172-185)
@@ -73,12 +72,19 @@ def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
 
     # Rust f32::round is half-away-from-zero; for non-negative values that
     # is floor(v + 0.5) (jnp.round would round half-to-even).
-    # Rust f32::round is half-away-from-zero; for non-negative values that
-    # is floor(v + 0.5) (jnp.round would round half-to-even).
     shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.int32)
 
     win = _max_shift(dm) + 1
-    if jax.default_backend() == "tpu" and win <= 2048:
+    # Pathological sub-pixel amplitudes (max_shift == pw, i.e. dm ~ 0.5) let
+    # a pixel link to itself; the reference then keeps that pixel's *initial*
+    # noise value (output_row starts as a full-width noise copy,
+    # output.rs:172). Use full-width noise so self-referencing fixpoints
+    # >= pw resolve to their own noise, exactly like the Rust scan.
+    wide = win > pw
+    noise_w = out_w if wide else pw
+    noise = jax.random.randint(key, (out_h, noise_w, 3), 0, 256, dtype=jnp.uint8)
+
+    if not wide and jax.default_backend() == "tpu" and win <= 2048:
         from matrix_eyes_tpu.ops.stereogram_kernel import linker_scan_tpu
 
         return linker_scan_tpu(shift, noise, pw, win)
@@ -87,7 +93,8 @@ def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
     parent = jnp.where(x >= pw, x + shift - pw, x)
 
     # pointer doubling: chains step back >= pw - max_shift columns, so a
-    # bounded number of squarings reaches every fixpoint (all < pw)
+    # bounded number of squarings reaches every fixpoint (all < pw, plus
+    # the self-referencing pixels in the `wide` case)
     root = parent
     for _ in range(_doubling_iterations(out_w, pw, dm)):
         root = jnp.take_along_axis(root, root, axis=1)
@@ -112,13 +119,17 @@ def synthesize_stereogram(
 def reference_rows(depth_norm, noise, pw: int, dm: float):
     """Sequential per-row reference of the reference's scan (for tests).
 
-    depth_norm: (H, W) normalised depth at output pixels; noise: (H, >=pw, 3)
-    u8. Pure numpy, mirrors output.rs:172-185.
+    depth_norm: (H, W) normalised depth at output pixels; noise: (H, n, 3)
+    u8 with n >= pw (pass n == W to model the reference's full-width
+    noise rows and initial output_row = noise copy, output.rs:165-172).
+    Pure numpy, mirrors output.rs:172-185.
     """
     import numpy as np
 
     H, W = depth_norm.shape
     out = np.zeros((H, W, 3), np.uint8)
+    n = noise.shape[1]
+    out[:, : min(n, W)] = noise[:, :W]
     for y in range(H):
         for x in range(W):
             if x >= pw:

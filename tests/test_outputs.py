@@ -195,3 +195,26 @@ def test_stereogram_seed_determinism():
     c = np.asarray(synthesize_stereogram(grid, 20, 50, 0.1, seed=43))
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_stereogram_pathological_subpixel_amplitude():
+    # dm ~ 0.5 makes max_shift == pw: pixels can link to themselves, and the
+    # reference then keeps their initial full-width noise value
+    # (output_row = noise_row.clone(), output.rs:172). W=50, amp=0.01 ->
+    # dm=0.5, pw=1, max_shift=1.
+    import jax
+
+    H, W, amplitude = 9, 50, 0.01
+    dm, pw = stereogram_geometry(W, amplitude)
+    assert pw == 1 and math.floor(dm + 0.5) == pw  # the pathological regime
+    rng = np.random.RandomState(4)
+    grid = rng.uniform(0.004, 10.0, size=(7, 8)).astype(np.float32)
+
+    out = np.asarray(synthesize_stereogram(jnp.asarray(grid), H, W, amplitude, seed=9))
+
+    sampled = np.asarray(depthmap_bilinear_resample(jnp.asarray(grid), H, W))
+    dnorm = (sampled - grid.min()) / (grid.max() - grid.min())
+    noise = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(9), (H, W, 3), 0, 256, dtype=jnp.uint8))
+    expected = reference_rows(dnorm, noise, pw, dm)
+    np.testing.assert_array_equal(out, expected)
