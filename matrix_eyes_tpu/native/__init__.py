@@ -7,4 +7,6 @@ built on demand with the system toolchain and loaded via ctypes (no
 pybind11 dependency). Falls back to pure Python transparently.
 """
 
-from matrix_eyes_tpu.native.meshwriter import format_f64_native, write_obj  # noqa: F401
+from matrix_eyes_tpu.native.meshwriter import format_f64_native, write_obj  # noqa: F401  (re-exports)
+
+__all__ = ["format_f64_native", "write_obj"]
