@@ -61,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             lib.me_format_f64.restype = ctypes.c_int
             lib.me_format_f64.argtypes = [ctypes.c_double, ctypes.c_char_p]
+            lib.me_index_mesh.restype = ctypes.c_int64
+            lib.me_index_mesh.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
             return _lib
         except (OSError, subprocess.SubprocessError):
@@ -80,6 +85,28 @@ def format_f64_native(v: float) -> Optional[str]:
     buf = ctypes.create_string_buffer(512)
     n = lib.me_format_f64(ctypes.c_double(v), buf)
     return buf.raw[:n].decode()
+
+
+def index_mesh(faces: np.ndarray, grid_size: int):
+    """First-use vertex indexing (see me_index_mesh). faces: (nf, 3) int64.
+    Returns (vertex_orig int64 (nv,), remapped_faces int32 (nf, 3)) or None
+    if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, np.int64)
+    nf = faces.shape[0]
+    out_faces = np.empty((nf, 3), np.int32)
+    out_vertex = np.empty(min(3 * nf, grid_size), np.int64)
+    nv = lib.me_index_mesh(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(nf), ctypes.c_int64(grid_size),
+        out_faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_vertex.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if nv < 0:
+        raise ValueError("face index out of range in index_mesh")
+    return out_vertex[:nv].copy(), out_faces
 
 
 def write_obj(path, x, y, z, rgb, uvs, faces, texture: bool, mtl_stem: str) -> bool:

@@ -74,15 +74,28 @@ def build_mesh(data: np.ndarray) -> Mesh:
     keep_all = np.stack([keep_ul, keep_lr], axis=2)  # (H-1, W-1, 2)
 
     faces = faces_all[keep_all]  # (nf, 3), (y, x, UL/LR) traversal order
-    flat = faces.reshape(-1)
-    uniq, first = np.unique(flat, return_index=True)
-    order = np.argsort(first, kind="stable")  # first-use ordering
-    vertex_orig = uniq[order]
-    remap = np.full(H * W, -1, dtype=np.int64)
-    remap[vertex_orig] = np.arange(vertex_orig.shape[0])
+
+    # first-use vertex numbering: O(n) native pass when available, else
+    # np.unique over the vertex stream (identical ordering)
+    try:
+        from matrix_eyes_tpu.native.meshwriter import index_mesh
+
+        native = index_mesh(faces, H * W)
+    except Exception:
+        native = None
+    if native is not None:
+        vertex_orig, remapped = native
+    else:
+        flat = faces.reshape(-1)
+        uniq, first = np.unique(flat, return_index=True)
+        order = np.argsort(first, kind="stable")  # first-use ordering
+        vertex_orig = uniq[order]
+        remap = np.full(H * W, -1, dtype=np.int64)
+        remap[vertex_orig] = np.arange(vertex_orig.shape[0])
+        remapped = remap[faces].astype(np.int32)
     return Mesh(
         vertex_orig_indices=vertex_orig,
-        faces=remap[faces].astype(np.int32),
+        faces=remapped,
         grid_width=W,
         grid_height=H,
     )

@@ -49,3 +49,21 @@ def test_native_obj_matches_python(tmp_path, mode, with_img):
     py = py.replace("mtllib py.mtl", "mtllib X.mtl")
     nat = nat.replace("mtllib nat.mtl", "mtllib X.mtl")
     assert py == nat
+
+
+def test_native_index_mesh_matches_numpy():
+    from matrix_eyes_tpu.output import mesh as mesh_mod
+
+    rng = np.random.RandomState(9)
+    data = rng.uniform(0.9, 1.15, size=(40, 37)).astype(np.float32)
+    native = mesh_mod.build_mesh(data)
+
+    # force the numpy path
+    import unittest.mock as mock
+
+    with mock.patch.object(meshwriter, "_load", return_value=None):
+        numpy_mesh = mesh_mod.build_mesh(data)
+
+    np.testing.assert_array_equal(native.vertex_orig_indices,
+                                  numpy_mesh.vertex_orig_indices)
+    np.testing.assert_array_equal(native.faces, numpy_mesh.faces)
