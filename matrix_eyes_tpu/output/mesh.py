@@ -50,11 +50,6 @@ class Mesh:
 def build_mesh(data: np.ndarray) -> Mesh:
     """data: (H, W) clamped inverse depth. Returns the indexed mesh."""
     H, W = data.shape
-    lin = np.arange(H * W, dtype=np.int64).reshape(H, W)
-    i00 = lin[:-1, :-1]
-    i10 = lin[:-1, 1:]
-    i01 = lin[1:, :-1]
-    i11 = lin[1:, 1:]
     v00 = data[:-1, :-1]
     v10 = data[:-1, 1:]
     v01 = data[1:, :-1]
@@ -65,15 +60,23 @@ def build_mesh(data: np.ndarray) -> Mesh:
         mn = np.minimum(np.minimum(a, b), c)
         return mx / mn <= POLYGON_DEPTH_THRESHOLD
 
-    keep_ul = keep(v00, v01, v10)
-    keep_lr = keep(v10, v01, v11)
+    keep_all = np.stack([keep(v00, v01, v10), keep(v10, v01, v11)], axis=2)
 
-    faces_ul = np.stack([i00, i01, i10], axis=-1)  # (H-1, W-1, 3)
-    faces_lr = np.stack([i10, i01, i11], axis=-1)
-    faces_all = np.stack([faces_ul, faces_lr], axis=2)  # (H-1, W-1, 2, 3)
-    keep_all = np.stack([keep_ul, keep_lr], axis=2)  # (H-1, W-1, 2)
-
-    faces = faces_all[keep_all]  # (nf, 3), (y, x, UL/LR) traversal order
+    # Kept faces in (y, x, UL/LR) traversal order, built arithmetically from
+    # the flat mask positions (materialising all candidate index triples
+    # first costs ~2s at 1536^2): quad (y, x) has UL = [i00, i01, i10] and
+    # LR = [i10, i01, i11] with i00 = y*W + x.
+    idx = np.flatnonzero(keep_all)
+    w1 = W - 1
+    y = idx // (2 * w1)
+    rem = idx - y * (2 * w1)
+    xq = rem >> 1
+    t = rem & 1  # 0 = upper-left, 1 = lower-right
+    base = y * W + xq
+    f0 = np.where(t == 0, base, base + 1)
+    f1 = base + W
+    f2 = np.where(t == 0, base + 1, base + W + 1)
+    faces = np.stack([f0, f1, f2], axis=1).astype(np.int64)
 
     # first-use vertex numbering: O(n) native pass when available, else
     # np.unique over the vertex stream (identical ordering)
