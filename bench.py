@@ -28,6 +28,8 @@ import sys
 import time
 from functools import partial
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
 
 import jax
