@@ -140,13 +140,17 @@ def _convert_upsample(ks: _KeySpace, p: str, n_up: int) -> Dict[str, Any]:
 
 def _convert_rcu(ks: _KeySpace, p: str) -> Dict[str, Any]:
     # Real checkpoint: Sequential(ReLU, conv, ReLU, conv) -> indices 1, 3;
-    # compact fallback: 0, 1.
+    # compact (hole-free) fallback: 0, 1. The two conventions are
+    # disambiguated by which index-3 key exists, so conv2's fallback to
+    # residual.1 is only taken when residual.3 is absent -- i.e. the whole
+    # block is compact -- and cannot collide with conv1's primary.
+    compact = f"{p}.residual.3.weight" not in ks
+    i1, i2 = ("0", "1") if compact else ("1", "3")
     return {
-        "conv1_w": ks.take(f"{p}.residual.1.weight", f"{p}.residual.0.weight",
-                           transform=t_conv),
-        "conv1_b": ks.take(f"{p}.residual.1.bias", f"{p}.residual.0.bias"),
-        "conv2_w": ks.take(f"{p}.residual.3.weight", transform=t_conv),
-        "conv2_b": ks.take(f"{p}.residual.3.bias"),
+        "conv1_w": ks.take(f"{p}.residual.{i1}.weight", transform=t_conv),
+        "conv1_b": ks.take(f"{p}.residual.{i1}.bias"),
+        "conv2_w": ks.take(f"{p}.residual.{i2}.weight", transform=t_conv),
+        "conv2_b": ks.take(f"{p}.residual.{i2}.bias"),
     }
 
 
@@ -174,14 +178,19 @@ def _convert_decoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
     dec = cfg.decoder_features
     dims = (dec,) + tuple(cfg.encoder_feature_dims)
     identity_at_0 = dims[0] == dec
+    # With the Identity at index 0 the real checkpoint's conv indices run
+    # 1..n (nn.ModuleList counts the Identity); a compact re-export runs
+    # 0..n-1. Both conventions share middle indices, so detect by the
+    # presence of the highest Apple-style index rather than per-key
+    # fallbacks (which would silently grab the wrong neighbour).
+    apple_style = (not identity_at_0) or f"decoder.convs.{len(dims) - 1}.weight" in ks
+    offset = 1 if (identity_at_0 and apple_style) else 0
     convs: List[Dict[str, Any]] = []
     if not identity_at_0:
         convs.append({"w": ks.take("decoder.convs.0.weight", transform=t_conv1x1)})
     for j in range(1, len(dims)):
-        # Real checkpoint indexes past the Identity; compact fallback doesn't.
-        primary = f"decoder.convs.{j}.weight"
-        fallback = f"decoder.convs.{j - 1 if identity_at_0 else j}.weight"
-        convs.append({"w": ks.take(primary, fallback, transform=t_conv)})
+        convs.append({"w": ks.take(f"decoder.convs.{j - 1 + offset}.weight",
+                                   transform=t_conv)})
     fusions = []
     for i in range(len(dims)):
         p = f"decoder.fusions.{i}"
@@ -198,6 +207,9 @@ def _convert_decoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
 
 
 def _convert_head(ks: _KeySpace) -> Dict[str, Any]:
+    # Real checkpoint: Sequential with ReLUs at 3 and 5 -> conv indices
+    # 0, 1, 2, 4 (the reference remaps exactly these, mod.rs:198-205);
+    # compact fallback puts the last conv at 3.
     return {
         "conv0_w": ks.take("head.0.weight", transform=t_conv),
         "conv0_b": ks.take("head.0.bias"),
@@ -205,12 +217,17 @@ def _convert_head(ks: _KeySpace) -> Dict[str, Any]:
         "deconv1_b": ks.take("head.1.bias"),
         "conv2_w": ks.take("head.2.weight", transform=t_conv),
         "conv2_b": ks.take("head.2.bias"),
-        "conv3_w": ks.take("head.4.weight", transform=t_conv1x1),
-        "conv3_b": ks.take("head.4.bias"),
+        "conv3_w": ks.take("head.4.weight", "head.3.weight", transform=t_conv1x1),
+        "conv3_b": ks.take("head.4.bias", "head.3.bias"),
     }
 
 
 def _convert_fov(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
+    # Real checkpoint: Sequential with ReLUs -> conv indices 0, 2, 4;
+    # compact re-export -> 0, 1, 2. fov.head.2 exists in both conventions,
+    # so detect by the Apple-only index 4.
+    apple_style = "fov.head.4.weight" in ks
+    i1, i2 = ("2", "4") if apple_style else ("1", "2")
     return {
         "encoder": _convert_vit(ks, "fov.encoder.0", cfg),
         "linear": {
@@ -226,12 +243,12 @@ def _convert_fov(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
             "b": ks.take("fov.head.0.bias"),
         },
         "head1": {
-            "w": ks.take("fov.head.2.weight", "fov.head.1.weight", transform=t_conv),
-            "b": ks.take("fov.head.2.bias", "fov.head.1.bias"),
+            "w": ks.take(f"fov.head.{i1}.weight", transform=t_conv),
+            "b": ks.take(f"fov.head.{i1}.bias"),
         },
         "head2": {
-            "w": ks.take("fov.head.4.weight", "fov.head.2.weight", transform=t_conv),
-            "b": ks.take("fov.head.4.bias", "fov.head.2.bias"),
+            "w": ks.take(f"fov.head.{i2}.weight", transform=t_conv),
+            "b": ks.take(f"fov.head.{i2}.bias"),
         },
     }
 

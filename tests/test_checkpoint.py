@@ -96,3 +96,31 @@ def test_convert_parts_subset(tmodel):
     flat = {k: v.numpy() for k, v in tmodel.state_dict().items()}
     params = convert_state_dict(TINY, flat, parts=("encoder", "decoder", "head"))
     assert "fov" not in params
+
+
+def test_convert_compact_index_fallbacks(tmodel):
+    """A hole-free (compact) Sequential naming convention (e.g. a
+    re-exported checkpoint) loads via the converter's fallback indices and
+    produces identical parameters."""
+    import re
+
+    flat = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    renames = {}
+    for k in list(flat):
+        nk = k
+        nk = re.sub(r"(resnet[12])\.residual\.1\.", r"\1.residual.0.", nk)
+        nk = re.sub(r"(resnet[12])\.residual\.3\.", r"\1.residual.1.", nk)
+        nk = re.sub(r"^head\.4\.", "head.3.", nk)
+        nk = re.sub(r"^fov\.head\.2\.", "fov.head.1.", nk)
+        nk = re.sub(r"^fov\.head\.4\.", "fov.head.2.", nk)
+        m = re.match(r"^decoder\.convs\.(\d)\.", nk)
+        if m:
+            nk = f"decoder.convs.{int(m.group(1)) - 1}." + nk.split(".", 3)[3]
+        renames[k] = nk
+    compact = {renames[k]: v for k, v in flat.items()}
+    import jax
+
+    a = convert_state_dict(TINY, flat)
+    b = convert_state_dict(TINY, compact)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
