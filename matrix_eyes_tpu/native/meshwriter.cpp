@@ -15,6 +15,7 @@
 // Exposed as a C ABI for ctypes; see meshwriter.py.
 
 #include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -26,6 +27,14 @@ namespace {
 // Format a double exactly like Rust's `{}` Display: shortest round-trip,
 // always positional, "1" not "1.0", "-0" for negative zero.
 size_t format_f64(double v, char* out) {
+  // Non-finite values: match Rust Display ("NaN", "inf", "-inf") exactly,
+  // like rust_format.format_f64 -- std::to_chars would emit "nan"/"inf"
+  // with a lowercase n, diverging from the Python writer path.
+  if (std::isnan(v)) { std::memcpy(out, "NaN", 3); return 3; }
+  if (std::isinf(v)) {
+    if (v < 0) { std::memcpy(out, "-inf", 4); return 4; }
+    std::memcpy(out, "inf", 3); return 3;
+  }
   char buf[64];
   auto res = std::to_chars(buf, buf + sizeof(buf), v);
   size_t n = res.ptr - buf;

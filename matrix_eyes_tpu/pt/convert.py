@@ -262,10 +262,14 @@ def infer_config(flat: Dict[str, np.ndarray]) -> ModelConfig:
     eps uses the DINOv2 value, highres ids scale like the production
     network's (depth/4 - 1, depth/2 - 1) -> (5, 11) at depth 24.
     """
-    def need(key: str) -> np.ndarray:
-        if key not in flat:
-            raise CheckpointMissingKeys([key])
-        return flat[key]
+    def need(key: str, *fallbacks: str) -> np.ndarray:
+        # Fallbacks mirror the converters' Sequential-index candidate order
+        # (Apple hole-indices first, compact re-export second), so a compact
+        # checkpoint is inferable, not just convertible-with-explicit-cfg.
+        for k in (key,) + fallbacks:
+            if k in flat:
+                return flat[k]
+        raise CheckpointMissingKeys([key])
 
     d = int(need("encoder.patch_encoder.cls_token").shape[-1])
     n_tokens = int(need("encoder.patch_encoder.pos_embed").shape[1]) - 1
@@ -278,6 +282,13 @@ def infer_config(flat: Dict[str, np.ndarray]) -> ModelConfig:
     )
     qkv_out = int(need("encoder.patch_encoder.blocks.0.attn.qkv.weight").shape[0])
     assert qkv_out == 3 * d, "unexpected qkv shape"
+    # The head count is not recoverable from any state-dict shape (qkv is a
+    # single fused (3d, d) matrix). Assume the ViT-standard head_dim=64
+    # whenever the width allows it (true for every DINOv2 variant, incl. the
+    # production ViT-L/16: 1024/64 = 16 heads); otherwise fall back to two
+    # heads for small test widths. Converted caches persist the resolved
+    # num_heads in <stem>-config.json, which the loader prefers over this
+    # inference, so the assumption only governs first contact with a raw .pt.
     head_dim = 64 if d % 64 == 0 else d // 2
     num_heads = d // head_dim
     mlp_hidden = int(need("encoder.patch_encoder.blocks.0.mlp.fc1.weight").shape[0])
@@ -287,7 +298,7 @@ def infer_config(flat: Dict[str, np.ndarray]) -> ModelConfig:
     ef3 = int(need("encoder.upsample2.0.weight").shape[0])
     dec = int(need("head.0.weight").shape[1])
     l0 = int(need("head.2.weight").shape[0])
-    l1 = int(need("head.4.weight").shape[0])
+    l1 = int(need("head.4.weight", "head.3.weight").shape[0])
     return ModelConfig(
         vit_img_size=s * patch,
         patch_size=patch,

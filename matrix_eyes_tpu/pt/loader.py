@@ -11,8 +11,10 @@ the original ``.pt``.
 
 Cache format: one npz per part holding the converted (TPU-layout) leaves in
 the deterministic order of ``models.spec.param_spec``; bfloat16 leaves are
-stored as uint16 bit patterns with a dtype tag. Cached dtype is whatever the
-params were converted to; loading casts to the requested dtype.
+stored as uint16 bit patterns with a dtype tag. Float leaves are cached in
+f16 by default -- the reference's on-disk convention (mod.rs:211-227 always
+writes HalfPrecision .mpk regardless of runtime dtype); loading casts to the
+requested dtype.
 """
 
 from __future__ import annotations
@@ -45,12 +47,22 @@ def _config_cache_path(checkpoint_path: str) -> str:
     return f"{stem}-config.json"
 
 
-def save_part_cache(path: str, part_params: Any) -> None:
+def save_part_cache(path: str, part_params: Any, cache_dtype=np.float16) -> None:
+    """Write one part's converted leaves to ``path`` (atomically).
+
+    ``cache_dtype`` defaults to f16, the reference's on-disk convention for
+    ``--convert-checkpoints`` caches (mod.rs:211-227 always writes a
+    HalfPrecision .mpk regardless of the runtime dtype); pass ``None`` to
+    store the leaves' own dtype.
+    """
     leaves = jax.tree.leaves(part_params)
     arrays: Dict[str, np.ndarray] = {}
     dtypes = []
     for i, leaf in enumerate(leaves):
         a = np.asarray(leaf)
+        is_float = np.issubdtype(a.dtype, np.floating) or a.dtype == ml_dtypes.bfloat16
+        if cache_dtype is not None and is_float:
+            a = a.astype(cache_dtype)
         dtypes.append(str(a.dtype))
         if a.dtype == ml_dtypes.bfloat16:
             a = a.view(np.uint16)
@@ -122,7 +134,11 @@ def load_checkpoint(
 
     if cfg is None:
         ccache = _config_cache_path(checkpoint_path)
-        if not os.path.exists(checkpoint_path) and os.path.exists(ccache):
+        if os.path.exists(ccache):
+            # The config cache is written atomically alongside the part
+            # caches and also records fields not recoverable from shapes
+            # (num_heads); prefer it whenever it exists so a warm run never
+            # re-parses the multi-GB .pt just to infer the architecture.
             cfg = _load_config_cache(ccache)
         else:
             cfg = infer_config(read_flat())

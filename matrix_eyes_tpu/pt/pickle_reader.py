@@ -57,7 +57,14 @@ class _Storage:
 
     def data(self) -> np.ndarray:
         if self._data is None:
-            raw = self.zf.read(self.member)
+            try:
+                raw = self.zf.read(self.member)
+            except KeyError as e:
+                raise LoaderError(f"checkpoint storage missing: {self.member}") from e
+            if len(raw) < self.numel * self.dtype.itemsize:
+                raise LoaderError(
+                    f"checkpoint storage {self.member} truncated: "
+                    f"{len(raw)} bytes < {self.numel} x {self.dtype}")
             self._data = np.frombuffer(raw, dtype=self.dtype, count=self.numel)
         return self._data
 
@@ -65,13 +72,39 @@ class _Storage:
 def _rebuild_tensor_v2(storage: _Storage, storage_offset, size, stride,
                        requires_grad=False, backward_hooks=None, metadata=None):
     flat = storage.data()
-    if not size:
-        return flat[storage_offset].copy().reshape(())
+    # The offset/size/stride triplet comes straight out of the (untrusted)
+    # pickle stream; validate that the strided view stays inside the storage
+    # buffer before as_strided, which performs no bounds checks of its own --
+    # a malformed checkpoint must produce a LoaderError, not an out-of-bounds
+    # read of process memory.
+    try:
+        offset = int(storage_offset)
+        shape = tuple(int(s) for s in size)
+        strides = tuple(int(s) for s in stride)
+    except (TypeError, ValueError) as e:
+        raise LoaderError(f"malformed tensor metadata in checkpoint: {e}") from e
+    if offset < 0 or any(s < 0 for s in shape) or any(s < 0 for s in strides) \
+            or len(shape) != len(strides):
+        raise LoaderError(
+            f"malformed tensor metadata in checkpoint: offset={offset} "
+            f"size={shape} stride={strides}")
+    if not shape:
+        if offset >= flat.size:
+            raise LoaderError(
+                f"tensor offset {offset} out of storage bounds ({flat.size})")
+        return flat[offset].copy().reshape(())
+    if any(s == 0 for s in shape):
+        return np.empty(shape, flat.dtype)
+    last = offset + sum((d - 1) * s for d, s in zip(shape, strides))
+    if last >= flat.size:
+        raise LoaderError(
+            f"tensor view (offset={offset} size={shape} stride={strides}) "
+            f"exceeds storage bounds ({flat.size} elements)")
     itemsize = flat.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
-        flat[storage_offset:],
-        shape=tuple(size),
-        strides=tuple(s * itemsize for s in stride),
+        flat[offset:],
+        shape=shape,
+        strides=tuple(s * itemsize for s in strides),
     )
     return np.ascontiguousarray(view)
 

@@ -124,3 +124,120 @@ def test_convert_compact_index_fallbacks(tmodel):
     b = convert_state_dict(TINY, compact)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _compact_rename(flat):
+    import re
+
+    out = {}
+    for k, v in flat.items():
+        nk = k
+        nk = re.sub(r"(resnet[12])\.residual\.1\.", r"\1.residual.0.", nk)
+        nk = re.sub(r"(resnet[12])\.residual\.3\.", r"\1.residual.1.", nk)
+        nk = re.sub(r"^head\.4\.", "head.3.", nk)
+        nk = re.sub(r"^fov\.head\.2\.", "fov.head.1.", nk)
+        nk = re.sub(r"^fov\.head\.4\.", "fov.head.2.", nk)
+        m = re.match(r"^decoder\.convs\.(\d)\.", nk)
+        if m:
+            nk = f"decoder.convs.{int(m.group(1)) - 1}." + nk.split(".", 3)[3]
+        out[nk] = v
+    return out
+
+
+def test_infer_config_compact_checkpoint(tmodel):
+    """infer_config must accept the compact (hole-free) Sequential naming
+    that convert_state_dict already supports -- head.4 falls back to head.3."""
+    from matrix_eyes_tpu.pt.convert import infer_config
+
+    flat = _compact_rename({k: v.numpy() for k, v in tmodel.state_dict().items()})
+    cfg = infer_config(flat)
+    assert cfg.head_last_dims == TINY.head_last_dims
+    assert cfg.embed_dim == TINY.embed_dim
+
+
+def _write_evil_pt(path, args, storage_bytes=16):
+    """Craft a torch-zip checkpoint whose pickle feeds attacker-controlled
+    (offset, size, stride) into _rebuild_tensor_v2. Uses the real torch
+    globals so the pickle stream is exactly what torch.save would emit."""
+    import io
+    import pickle
+    import zipfile
+
+    class Ref:
+        pass
+
+    class EvilTensor:
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2, (Ref(),) + args)
+
+    class P(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, Ref):
+                return ("storage", torch.FloatStorage, "0", "cpu", storage_bytes // 4)
+            return None
+
+    buf = io.BytesIO()
+    P(buf, protocol=2).dump({"w": EvilTensor()})
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", b"\x00" * storage_bytes)
+        zf.writestr("archive/version", "3")
+
+
+@pytest.mark.parametrize(
+    "args",
+    [
+        (0, (1000,), (1,)),           # size exceeds storage
+        (3, (2,), (1,)),              # offset pushes past the end
+        (0, (2, 2), (100, 1)),        # stride escapes the buffer
+        (-1, (2,), (1,)),             # negative offset
+        (0, (2,), (-1,)),             # negative stride
+        (10, (), ()),                 # scalar offset out of bounds
+    ],
+)
+def test_malicious_tensor_metadata_rejected(tmp_path, args):
+    """Untrusted (offset, size, stride) must never reach as_strided: a
+    malformed checkpoint raises LoaderError instead of reading out of
+    bounds of the storage buffer (ADVICE.md, pickle_reader hardening)."""
+    path = str(tmp_path / "evil.pt")
+    _write_evil_pt(path, args)
+    with pytest.raises(LoaderError):
+        read_pt_state_dict(path)
+
+
+def test_inbounds_strided_tensor_accepted(tmp_path):
+    path = str(tmp_path / "ok.pt")
+    _write_evil_pt(path, (0, (2, 2), (2, 1)), storage_bytes=16)
+    flat = read_pt_state_dict(path)
+    assert flat["w"].shape == (2, 2)
+
+
+def test_truncated_storage_rejected(tmp_path):
+    """Storage member shorter than numel*itemsize -> LoaderError, not a
+    numpy ValueError crash."""
+    import io
+    import pickle
+    import zipfile
+
+    class Ref:
+        pass
+
+    class EvilTensor:
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2, (Ref(), 0, (4,), (1,)))
+
+    class P(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, Ref):
+                return ("storage", torch.FloatStorage, "0", "cpu", 4)  # claims 4 floats
+            return None
+
+    buf = io.BytesIO()
+    P(buf, protocol=2).dump({"w": EvilTensor()})
+    path = str(tmp_path / "trunc.pt")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", b"\x00" * 8)  # only 2 floats on disk
+        zf.writestr("archive/version", "3")
+    with pytest.raises(LoaderError, match="truncated"):
+        read_pt_state_dict(path)

@@ -43,12 +43,13 @@ def test_cache_roundtrip_and_dtype_cast(ckpt):
     cfg1, p1 = load_checkpoint(ckpt, dtype=jnp.bfloat16, convert_checkpoints=True)
     stem = os.path.splitext(ckpt)[0]
     assert os.path.exists(f"{stem}-encoder.npz")
-    # load from cache, casting bf16 cache -> f32
+    # load from cache (stored f16, the reference convention), casting -> f32
     cfg2, p2 = load_checkpoint(ckpt, dtype=jnp.float32)
     assert cfg2 == cfg1
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         assert b.dtype == jnp.float32
-        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
+        want = np.asarray(a, np.float32).astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(want, np.asarray(b))
 
 
 def test_stale_cache_detected(ckpt, tmp_path):
@@ -73,3 +74,45 @@ def test_stale_cache_detected(ckpt, tmp_path):
 def test_missing_checkpoint_and_cache(tmp_path):
     with pytest.raises(LoaderError, match="no such file"):
         load_checkpoint(str(tmp_path / "nope.pt"))
+
+
+def test_config_json_preferred_over_pt_reparse(ckpt, tmp_path, monkeypatch):
+    """With part caches + config json present, a warm load must never
+    re-parse the (multi-GB in production) .pt just to infer the config."""
+    import shutil
+
+    d = str(tmp_path / "warm")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    cfg1, _ = load_checkpoint(path, convert_checkpoints=True)
+
+    import matrix_eyes_tpu.pt.loader as loader_mod
+
+    def boom(*a, **k):
+        raise AssertionError("warm load re-parsed the .pt")
+
+    monkeypatch.setattr(loader_mod, "read_pt_state_dict", boom)
+    cfg2, params = load_checkpoint(path)
+    assert cfg2 == cfg1
+    assert set(params) == {"encoder", "decoder", "head", "fov"}
+
+
+def test_cache_written_f16_by_default(ckpt, tmp_path):
+    """The on-disk cache convention is f16 regardless of runtime dtype
+    (reference mod.rs:211-227); an f32 conversion must not double it."""
+    import shutil
+    import json
+
+    d = str(tmp_path / "f16cache")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+    stem = os.path.splitext(path)[0]
+    with np.load(f"{stem}-encoder.npz") as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+    assert all(dt == "float16" for dt in manifest["dtypes"]), manifest["dtypes"]
+    # and loading casts back up to the requested dtype
+    _, params = load_checkpoint(path, dtype=jnp.float32)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))

@@ -15,7 +15,8 @@ pytestmark = pytest.mark.skipif(
 def test_native_format_f64_matches_python():
     rng = np.random.RandomState(0)
     values = [1.0, 0.0, -0.0, 0.5, -3.25, 1e-7, 1.5e-7, 123.456, 250.0,
-              float(np.float32(0.1)), 1e20]
+              float(np.float32(0.1)), 1e20,
+              float("nan"), float("inf"), float("-inf")]
     values += [float(rng.uniform(-250, 250) * 10 ** rng.randint(-9, 3))
                for _ in range(2000)]
     for v in values:
