@@ -198,11 +198,17 @@ def run(args: Args, progress=None) -> None:
                  load_source_image(args.img_src, args.focal_length))]
 
     # FOV weights are only needed without a known focal length
-    # (mod.rs:340-359's lazy fov load); in batch mode any image may lack
-    # EXIF, so load fov unless a focal length was given explicitly.
+    # (mod.rs:340-359's lazy fov load). In batch mode, probe every image's
+    # EXIF up front (header-only, no pixel decode): the FOV network's 0.3 B
+    # parameters are loaded only if some image actually lacks a focal length.
     parts = ("encoder", "decoder", "head")
-    need_fov = (args.focal_length is None if batch
-                else jobs[0][2].f_norm() is None)
+    if batch:
+        from matrix_eyes_tpu.io.image import probe_focal_length_35mm
+
+        need_fov = args.focal_length is None and any(
+            probe_focal_length_35mm(s) is None for s, _o, _src in jobs)
+    else:
+        need_fov = jobs[0][2].f_norm() is None
     if need_fov:
         parts = parts + ("fov",)
     cfg, params = load_checkpoint(

@@ -46,6 +46,24 @@ class SourceImage:
         return float(np.float32(f_px / float(self.original_size[0])))
 
 
+def probe_focal_length_35mm(path: str) -> Optional[float]:
+    """Read only the EXIF FocalLengthIn35mmFilm tag, without decoding
+    pixels (PIL decodes lazily, so this is a header-only read). Used by the
+    CLI's batch mode to decide whether the FOV network's 0.3 B parameters
+    are needed at all (mod.rs:340-359's lazy-load intent)."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            exif = im.getexif()
+            raw = exif.get_ifd(0x8769).get(_EXIF_FOCAL_35MM) if exif else None
+            if raw is None and exif:
+                raw = exif.get(_EXIF_FOCAL_35MM)
+            return float(int(raw)) if raw is not None else None
+    except Exception:
+        return None
+
+
 def load_source_image(path: str, focal_length_35mm: Optional[float] = None) -> SourceImage:
     from PIL import Image, ImageOps
 

@@ -235,3 +235,54 @@ def test_cli_batch_requires_out_directory(workdir, tmp_path):
     rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
                str(srcdir), str(tmp_path / "not_a_dir.png")])
     assert rc == 1
+
+
+def _exif_jpeg(path, focal_35mm=None):
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 256, size=(40, 60, 3), dtype=np.uint8))
+    if focal_35mm is None:
+        img.save(path, quality=95)
+    else:
+        exif = Image.Exif()
+        exif[0xA405] = focal_35mm
+        img.save(path, quality=95, exif=exif)
+
+
+def test_probe_focal_length_header_only(tmp_path):
+    from matrix_eyes_tpu.io.image import probe_focal_length_35mm
+
+    with_exif = str(tmp_path / "e.jpg")
+    without = str(tmp_path / "n.jpg")
+    _exif_jpeg(with_exif, 28)
+    _exif_jpeg(without)
+    assert probe_focal_length_35mm(with_exif) == 28.0
+    assert probe_focal_length_35mm(without) is None
+    assert probe_focal_length_35mm(str(tmp_path / "missing.jpg")) is None
+
+
+@pytest.mark.parametrize("all_exif", [True, False])
+def test_cli_batch_fov_lazy_load(workdir, tmp_path, monkeypatch, all_exif):
+    """Batch mode probes EXIF up front and loads the FOV network only when
+    some image actually lacks a focal length (mod.rs:340-359 lazy intent)."""
+    d, ckpt, _src = workdir
+    srcdir = tmp_path / f"in_lazy_{all_exif}"
+    outdir = tmp_path / f"out_lazy_{all_exif}"
+    srcdir.mkdir()
+    outdir.mkdir()
+    _exif_jpeg(str(srcdir / "a.jpg"), 28)
+    _exif_jpeg(str(srcdir / "b.jpg"), 35 if all_exif else None)
+
+    import matrix_eyes_tpu.pt.loader as loader_mod
+
+    seen = {}
+    real = loader_mod.load_checkpoint
+
+    def spy(*a, **k):
+        seen["parts"] = tuple(k.get("parts", ()))
+        return real(*a, **k)
+
+    monkeypatch.setattr(loader_mod, "load_checkpoint", spy)
+    rc = _run([f"--checkpoint-path={ckpt}", str(srcdir), str(outdir)])
+    assert rc == 0
+    assert ("fov" in seen["parts"]) == (not all_exif)
+    assert (outdir / "a.png").exists() and (outdir / "b.png").exists()
