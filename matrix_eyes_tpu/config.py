@@ -86,6 +86,21 @@ class ModelConfig:
 # Production configuration = the reference's architecture.
 DEPTH_PRO = ModelConfig()
 
+# Mid-size: structurally identical, big enough that GSPMD's partitioning
+# choices (patch-axis split, TP collectives) are representative. Used by
+# the multi-chip HLO tests (compile-only on the virtual CPU mesh).
+MID = ModelConfig(
+    vit_img_size=128,
+    patch_size=16,
+    depth=4,
+    embed_dim=128,
+    num_heads=4,
+    encoder_feature_dims=(64, 96, 128, 128),
+    decoder_features=64,
+    head_last_dims=(16, 1),
+    highres_block_ids=(1, 3),
+)
+
 # Structurally identical, ~1000x smaller: for unit tests and CPU dry-runs.
 TINY = ModelConfig(
     vit_img_size=128,

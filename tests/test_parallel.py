@@ -75,3 +75,34 @@ def test_graft_entry_lowers():
     spec.loader.exec_module(m)
     # compile-check the tiny dryrun path end-to-end
     m.dryrun_multichip(8)
+
+
+def test_mid_config_collectives_in_compiled_hlo():
+    """Compile (not run) the MID-size sharded forward on the (4, 2) mesh and
+    assert the GSPMD partitioner produced what the layout promises:
+
+    * TP all-reduces inside the ViT blocks (proj/fc2 row-parallel sums),
+    * an all-gather where the overlapping patch pyramid merges,
+    * the patch axis is actually split: the padded 36-patch pyramid appears
+      as a 9-patch per-device tensor. If GSPMD ever stops sharding the
+      patch axis, the full 36-patch shape reappears and this fails.
+    """
+    from matrix_eyes_tpu.config import MID
+
+    cfg = MID
+    mesh = make_mesh(8, model=2)
+    params = shard_params(init_params(cfg, seed=0), mesh)
+    img = shard_batch(jnp.ones((1, cfg.img_size, cfg.img_size, 3), jnp.float32), mesh)
+
+    with patch_sharded(mesh):
+        compiled = jax.jit(
+            lambda p, im: _forward(cfg, p, im)).lower(params, img).compile()
+    txt = compiled.as_text()
+
+    assert "all-reduce" in txt, "expected TP all-reduces in the partitioned HLO"
+    assert "all-gather" in txt, "expected a patch-merge all-gather"
+    # 1 image -> 35 patches padded to 36 over data=4 -> 9 per device
+    per_device_pyramid = f"[9,{cfg.vit_img_size},{cfg.vit_img_size},3]"
+    full_pyramid = f"[36,{cfg.vit_img_size},{cfg.vit_img_size},3]"
+    assert per_device_pyramid in txt, "patch axis is not sharded per-device"
+    assert full_pyramid not in txt, "unsharded full pyramid found in HLO"
