@@ -16,8 +16,11 @@ Methodology notes:
   north-star target is < 1 s per image on one v5e chip, so
   vs_baseline = 1.0 / measured_s (>1 = faster than target).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+Prints ONE JSON line (driver contract). The headline metric is the device
+pipeline; the user-visible end-to-end number (device pipeline + stereogram
+readback to host + PNG encode, i.e. everything after file decode) rides in
+the same line under "e2e_png_*" keys so both coexist:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, "e2e_png_s": N}
 """
 
 from __future__ import annotations
@@ -86,11 +89,42 @@ def main() -> None:
     _ = [np.asarray(s) for s in sums]
     elapsed = (time.perf_counter() - t0) / iters
 
+    # User-visible end-to-end: same device pipeline, but returning the
+    # full stereogram, reading it back to host (~36 MB over the link) and
+    # encoding the PNG a user would actually open (output.rs:141-193 ends
+    # at out_image.save). File *decode* is still excluded (input lives in
+    # HBM), matching the headline metric's starting point.
+    import io as _io
+
+    from PIL import Image
+
+    @jax.jit
+    def device_pipeline_img(photo_u8, perturb, key):
+        p = (photo_u8.astype(jnp.int32) + perturb) % 256
+        img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
+        inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
+        data = _clamp_inverse_depth.__wrapped__(inv[0])
+        return _synthesize.__wrapped__(data, key, src_h, src_w, pw, dm)
+
+    _ = np.asarray(device_pipeline_img(photo, jnp.int32(0), jax.random.PRNGKey(1)))
+    e2e_iters = max(2, iters // 2)
+    t0 = time.perf_counter()
+    for p, k in zip(perturbs[:e2e_iters], keys[:e2e_iters]):
+        stereo_host = np.asarray(device_pipeline_img(photo, p, k))
+        buf = _io.BytesIO()
+        Image.fromarray(stereo_host).save(buf, format="PNG")
+    e2e_elapsed = (time.perf_counter() - t0) / e2e_iters
+
     print(json.dumps({
         "metric": "photo1536_to_depth_stereogram_wall_clock",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(1.0 / elapsed, 2),
+        # user-visible end-to-end: + ~36 MB host readback + PNG encode
+        # (single host core here; encode dominates). Same relay-safe
+        # methodology (unique inputs, real readbacks).
+        "e2e_png_s": round(e2e_elapsed, 4),
+        "e2e_png_vs_baseline": round(1.0 / e2e_elapsed, 2),
     }))
 
 

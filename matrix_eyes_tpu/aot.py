@@ -1,0 +1,155 @@
+"""Persistent AOT executable cache: instant warm starts.
+
+The reference is an ahead-of-time compiled binary -- ``main.rs:149-173``
+starts doing useful work immediately. A JAX process instead pays a trace +
+XLA compile on first call of each jitted program, which for the production
+model is the bulk of warm CLI latency. This module persists the *compiled
+PJRT executable* (``jax.experimental.serialize_executable``) keyed on the
+exact input signature, device, and package source fingerprint, so a warm
+CLI invocation deserializes the binary instead of recompiling it --
+the reference's AOT property, rebuilt the JAX way.
+
+Scope note: the JAX persistent *compilation* cache keys on HLO and still
+re-traces + re-lowers; on remote-compile backends it may not help at all.
+Serializing the executable skips tracing, lowering, and compilation
+entirely -- the only remaining warm costs are weight upload and IO.
+
+Safety: the cache key includes a fingerprint of every source file in this
+package (size + mtime), the JAX version, and the device platform/kind, so
+editing model code or switching devices invalidates entries automatically.
+Set ``MATRIX_EYES_AOT=off`` to disable, ``MATRIX_EYES_AOT_CACHE=<dir>`` to
+relocate (default ``$XDG_CACHE_HOME/matrix-eyes-tpu/aot``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax
+
+_live: Dict[str, Any] = {}
+_fingerprint_memo: str | None = None
+
+
+def enabled() -> bool:
+    return os.environ.get("MATRIX_EYES_AOT", "on").lower() not in ("0", "off", "false")
+
+
+def cache_dir() -> str:
+    d = os.environ.get("MATRIX_EYES_AOT_CACHE")
+    if d:
+        return d
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(base, "matrix-eyes-tpu", "aot")
+
+
+def source_fingerprint() -> str:
+    """Hash of (path, size, mtime) for every source file in the package.
+    Editing any module invalidates cached executables -- cheap (<10 ms) and
+    conservative (a reinstall is just a cache miss)."""
+    global _fingerprint_memo
+    if _fingerprint_memo is not None:
+        return _fingerprint_memo
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, files in sorted(os.walk(root)):
+        dirnames.sort()
+        if "__pycache__" in dirpath:
+            continue
+        for f in sorted(files):
+            if f.endswith((".py", ".cpp")):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, root)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    _fingerprint_memo = h.hexdigest()[:16]
+    return _fingerprint_memo
+
+
+def _abstract_sig(args: Sequence[Any]) -> str:
+    leaves, treedef = jax.tree.flatten(args)
+    parts = [str(treedef)]
+    for l in leaves:
+        a = jax.api_util.shaped_abstractify(l)
+        parts.append(f"{a.dtype}{tuple(a.shape)}")
+    return "|".join(parts)
+
+
+def _key(name: str, args: Sequence[Any], salt: str) -> str:
+    dev = jax.devices()[0]
+    desc = "\n".join([
+        name,
+        salt,
+        jax.__version__,
+        getattr(dev, "device_kind", "?"),
+        getattr(dev.client, "platform", "?"),
+        getattr(dev.client, "platform_version", "?"),
+        source_fingerprint(),
+        _abstract_sig(args),
+    ])
+    return f"{name}-{hashlib.sha256(desc.encode()).hexdigest()[:24]}"
+
+
+def _load(key: str):
+    path = os.path.join(cache_dir(), key + ".jaxexec")
+    if not os.path.exists(path):
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    except Exception:
+        # stale/corrupt/incompatible entry: drop it and recompile
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
+
+
+def _store(key: str, compiled) -> None:
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = se.serialize(compiled)
+        d = cache_dir()
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, os.path.join(d, key + ".jaxexec"))
+    except Exception:
+        pass  # caching is best-effort; the compiled program still runs
+
+
+def call_cached(name: str, fn: Callable, args: Tuple, salt: str = ""):
+    """Call ``fn(*args)`` through a persistently cached compiled executable.
+
+    ``fn`` must close over all static configuration (it is compiled for
+    exactly these arg shapes/dtypes); ``salt`` should fold in whatever
+    static state the closure captures (config repr, flags). Any cache
+    failure falls back to a fresh jit compile, then repopulates the cache.
+    """
+    if not enabled():
+        return jax.jit(fn)(*args)
+    key = _key(name, args, salt)
+    comp = _live.get(key)
+    if comp is None:
+        comp = _load(key)
+        if comp is None:
+            comp = jax.jit(fn).lower(*args).compile()
+            _store(key, comp)
+        _live[key] = comp
+    try:
+        return comp(*args)
+    except Exception:
+        # signature drift the key missed (e.g. weak types): recompile live
+        comp = jax.jit(fn).lower(*args).compile()
+        _live[key] = comp
+        return comp(*args)

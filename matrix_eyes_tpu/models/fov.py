@@ -33,7 +33,22 @@ def forward(
     from the decoder. Returns the estimated fov in degrees, shape (B,).
     """
     s = cfg.tokens_per_side
-    x = downsample_quarter(x)  # 1536 -> 384 bilinear (fov.rs:53)
+    # The FOV scalar divides every output depth, so its relative error is a
+    # floor on end-to-end accuracy -- and in bf16 the accumulated drift of a
+    # third 24-block ViT shows up directly (~3-5% measured on the real
+    # checkpoint). This network is ~3% of total FLOPs (one 384^2 tile vs the
+    # patch encoder's 35), so run its activations in f32: parameters stay
+    # bf16 in HBM (matmuls still hit the MXU with bf16 operands), while
+    # accumulation, residuals and the conv head keep full precision.
+    x = downsample_quarter(x.astype(jnp.float32))  # 1536 -> 384 (fov.rs:53)
+    lowres_feature = lowres_feature.astype(jnp.float32)
+    # Upcast at use (lax convs require matching operand dtypes); XLA fuses
+    # the converts, params stay half precision in HBM, and the MXU still
+    # sees bf16 operands at default matmul precision, so this costs ~3 ms
+    # of extra HBM traffic, not matmul throughput.
+    import jax
+
+    params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     tokens, _ = vit.forward_features(cfg, params["encoder"], x, use_flash=use_flash)
     tokens = nn.linear(tokens, params["linear"]["w"], params["linear"]["b"])
     # Drop cls, fold to NHWC grid. The reference (fov.rs:67,74) permutes to

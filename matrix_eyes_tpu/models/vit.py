@@ -115,6 +115,11 @@ def forward_features(
     tokens = prepare_tokens(cfg, params, x)
     seq = tokens.shape[1]
 
+    if use_flash:
+        from matrix_eyes_tpu.ops.flash_attention import flash_supported_dtype
+
+        use_flash = flash_supported_dtype(tokens.dtype)
+
     # With the flash kernel, pad the token axis to a lane multiple ONCE for
     # all blocks (instead of per-attention pad/slice -- that would move the
     # full activation through HBM twice per block). Padded rows carry

@@ -36,9 +36,14 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     axis for the flash kernel (models/vit.py pads once for all 24 blocks);
     the XLA path is only used unpadded."""
     if use_flash:
-        from matrix_eyes_tpu.ops.flash_attention import attention_flash
+        from matrix_eyes_tpu.ops.flash_attention import (
+            attention_flash,
+            flash_supported_dtype,
+        )
 
-        return attention_flash(q, k, v, scale, n_valid=n_valid)
+        if flash_supported_dtype(q.dtype):
+            return attention_flash(q, k, v, scale, n_valid=n_valid)
+        use_flash = False
     assert n_valid is None or n_valid == q.shape[2], (
         "padded tokens require the flash kernel's key masking")
     return attention_xla(q, k, v, scale)

@@ -113,6 +113,13 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
     return out[:, :, :N, :]
 
 
+def flash_supported_dtype(dtype) -> bool:
+    """Mosaic (the Pallas TPU compiler) supports f32/bf16 but not f16
+    ("Unsupported type in mosaic dialect: 'f16'"); f16 runs fall back to
+    the XLA attention path."""
+    return jnp.dtype(dtype) != jnp.float16
+
+
 def qkv_fusable(num_heads: int, head_dim: int) -> bool:
     """True if heads can be grouped into lane-aligned (128-divisible)
     feature blocks for attention_flash_qkv."""

@@ -85,11 +85,26 @@ def extract_depth(
     pl_net.update_message("extracting depth")
     try:
         use_flash = runtime.use_flash_attention()
+        # The model forward goes through the AOT executable cache: a warm
+        # CLI run deserializes the compiled binary instead of re-tracing and
+        # re-compiling (the reference's instant-binary property,
+        # main.rs:149-173). Falls back to plain jit when disabled.
+        from matrix_eyes_tpu import aot
+
+        salt = f"{cfg!r}|flash={use_flash}"
         if f_norm is not None:
-            inverse_depth = depth_pro.forward_with_fnorm(
-                cfg, params, img, jnp.float32(f_norm), use_flash)[0]
+            def fwd_fnorm(p, im, f):
+                return depth_pro.forward_with_fnorm.__wrapped__(
+                    cfg, p, im, f, use_flash)
+
+            inverse_depth = aot.call_cached(
+                "fwd_fnorm", fwd_fnorm,
+                (params, img, jnp.float32(f_norm)), salt)[0]
         else:
-            inv, _fov_deg = depth_pro.forward_with_fov(cfg, params, img, use_flash)
+            def fwd_fov(p, im):
+                return depth_pro.forward_with_fov.__wrapped__(cfg, p, im, use_flash)
+
+            inv, _fov_deg = aot.call_cached("fwd_fov", fwd_fov, (params, img), salt)
             inverse_depth = inv[0]
         depth_map = DepthMap.new(inverse_depth, src.original_size)
     except Exception as err:

@@ -7,8 +7,11 @@ section 4). This must run before jax is imported by any test module.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep test-compiled AOT executables out of the user cache.
+os.environ.setdefault("MATRIX_EYES_AOT_CACHE", tempfile.mkdtemp(prefix="me_aot_test_"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

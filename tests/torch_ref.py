@@ -334,3 +334,63 @@ def randomize(model: nn.Module, seed: int = 0) -> nn.Module:
             else:
                 p.copy_(torch.rand(p.shape, generator=g) * 0.25 + 0.05)
     return model
+
+
+@torch.no_grad()
+def dump_stages(model: DepthPro, x: torch.Tensor):
+    """Per-stage activations named like matrix_eyes_tpu.debug.dump_stages
+    (NHWC for feature maps), for real-checkpoint parity reports."""
+    import numpy as np
+
+    out = {}
+    enc = model.encoder
+    cfg = enc.cfg
+    P = cfg.vit_img_size
+    s = cfg.tokens_per_side
+    pad_hi, pad_lo = s // 8, s // 4
+    B = x.shape[0]
+
+    x1 = F.interpolate(x, scale_factor=0.5, mode="bilinear", align_corners=False)
+    x2 = F.interpolate(x, scale_factor=0.25, mode="bilinear", align_corners=False)
+    p0 = enc._split(x, P, 4)
+    p1 = enc._split(x1, P, 2)
+    n0, n1 = p0.shape[0], p1.shape[0]
+    pyramid = torch.cat([p0, p1, x2], dim=0)
+
+    t, (hi0, hi1) = enc.patch_encoder.forward_features(pyramid, cfg.highres_block_ids)
+    out["patch_tokens"] = t.float().numpy()
+    out["patch_highres0"] = hi0.float().numpy()
+    out["patch_highres1"] = hi1.float().numpy()
+
+    # continue the encoder forward from the already-computed tokens
+    tokens = enc._reshape_feature(t)
+    latent0 = enc._merge(enc._reshape_feature(hi0)[: B * 25], B, pad_hi)
+    latent1 = enc._merge(enc._reshape_feature(hi1)[: B * 25], B, pad_hi)
+    x0_enc, x1_enc, x2_enc = tokens[:n0], tokens[n0:n0 + n1], tokens[n0 + n1:]
+    x0_feat = enc._merge(x0_enc, B, pad_hi)
+    x1_feat = enc._merge(x1_enc, B, pad_lo)
+    g, _ = enc.image_encoder.forward_features(x2)
+    g = enc._reshape_feature(g)
+    latent0 = enc.upsample_latent0(latent0)
+    latent1 = enc.upsample_latent1(latent1)
+    x0_feat = enc.upsample0(x0_feat)
+    x1_feat = enc.upsample1(x1_feat)
+    x2_feat = enc.upsample2(x2_enc)
+    g = enc.upsample_lowres(g)
+    g = enc.fuse_lowres(torch.cat([x2_feat, g], dim=1))
+    encodings = [latent0, latent1, x0_feat, x1_feat, g]
+
+    names = ("latent0", "latent1", "x0", "x1", "global")
+    for name, e in zip(names, encodings):
+        out[f"enc_{name}"] = e.permute(0, 2, 3, 1).float().numpy()
+
+    features, lowres = model.decoder(encodings)
+    out["dec_features"] = features.permute(0, 2, 3, 1).float().numpy()
+    out["dec_lowres"] = lowres.permute(0, 2, 3, 1).float().numpy()
+
+    canonical = model.head(features)[:, 0]
+    out["canonical_inverse_depth"] = canonical.float().numpy()
+
+    fov_deg = model.fov(x, lowres)
+    out["fov_deg"] = fov_deg.float().numpy()
+    return out
