@@ -111,9 +111,18 @@ def synthesize_stereogram(
     seed: int = 0,
 ) -> jnp.ndarray:
     """depth: (H, W) clamped inverse-depth grid; returns (out_h, out_w, 3) u8."""
+    from matrix_eyes_tpu import aot
+
     dm, pw = stereogram_geometry(out_w, amplitude)
     key = jax.random.PRNGKey(seed)
-    return _synthesize(depth, key, out_h, out_w, pw, dm)
+
+    def synth(depth, key):
+        return _synthesize.__wrapped__(depth, key, out_h, out_w, pw, dm)
+
+    # Persistent AOT cache: the Pallas linker-scan kernel's compile is a
+    # noticeable slice of warm CLI latency; seed stays dynamic via `key`.
+    return aot.call_cached("stereogram", synth, (depth, key),
+                           salt=f"{out_h}x{out_w}|pw={pw}|dm={dm}")
 
 
 def reference_rows(depth_norm, noise, pw: int, dm: float):

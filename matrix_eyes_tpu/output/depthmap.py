@@ -77,8 +77,15 @@ class DepthMap:
     # -- image outputs -----------------------------------------------------
 
     def render_depth_map(self) -> np.ndarray:
+        from matrix_eyes_tpu import aot
+
         ow, oh = self.original_size
-        return np.asarray(_render_depth_map(self.data, oh, ow))
+
+        def render(data):
+            return _render_depth_map.__wrapped__(data, oh, ow)
+
+        return np.asarray(aot.call_cached(
+            "render_depthmap", render, (self.data,), salt=f"{oh}x{ow}"))
 
     def render_stereogram(self, resize_scale: Optional[float], amplitude: float,
                           seed: int = 0) -> np.ndarray:

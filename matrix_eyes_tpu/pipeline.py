@@ -76,8 +76,15 @@ def extract_depth(
         src = source if source is not None else load_source_image(
             source_path, focal_length_35mm)
         f_norm = src.f_norm()
-        img = preprocess_image(jnp.asarray(src.rgb), cfg.img_size,
-                               dtype=runtime.resolved_dtype())
+        from matrix_eyes_tpu import aot
+
+        rt_dtype = runtime.resolved_dtype()
+
+        def pre(rgb):
+            return preprocess_image.__wrapped__(rgb, cfg.img_size, rt_dtype)
+
+        img = aot.call_cached("preprocess", pre, (jnp.asarray(src.rgb),),
+                              salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
     except Exception as err:
         raise stage_error("Failed to load source image", err) from err
     pl_pre.report_status(1.0)

@@ -61,6 +61,10 @@ def test_stale_cache_detected(ckpt, tmp_path):
     shutil.copy(ckpt, path)
     load_checkpoint(path, convert_checkpoints=True)
     stem = os.path.splitext(path)[0]
+    # remove the preferred packed caches so the per-leaf npz path runs
+    for f in os.listdir(d):
+        if ".packed." in f:
+            os.remove(os.path.join(d, f))
     # corrupt the cache: drop a tensor
     with np.load(f"{stem}-head.npz") as z:
         arrays = {k: z[k] for k in z.files}
@@ -116,3 +120,53 @@ def test_cache_written_f16_by_default(ckpt, tmp_path):
     # and loading casts back up to the requested dtype
     _, params = load_checkpoint(path, dtype=jnp.float32)
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+
+
+def test_packed_cache_roundtrip_and_preference(ckpt, tmp_path):
+    """Packed blob path returns the same parameters as the per-leaf npz
+    path and is preferred when both exist."""
+    import shutil
+
+    from matrix_eyes_tpu.pt.loader import load_packed_cache, load_part_cache
+
+    d = str(tmp_path / "packed")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    cfg, p_fresh = load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+    stem = os.path.splitext(path)[0]
+    assert os.path.exists(f"{stem}-encoder.packed.npy")
+    assert os.path.exists(f"{stem}-encoder.packed.json")
+
+    # remove the .pt: both cache formats must fully reconstruct
+    os.remove(path)
+    _, p_packed = load_checkpoint(path, dtype=jnp.float32)
+    for a, b in zip(jax.tree.leaves(p_fresh), jax.tree.leaves(p_packed)):
+        want = np.asarray(a, np.float32).astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(want, np.asarray(b))
+
+    # stale packed manifest is detected
+    import json as _json
+
+    with open(f"{stem}-head.packed.json") as f:
+        m = _json.load(f)
+    m["entries"][0]["shape"][0] += 1
+    with open(f"{stem}-head.packed.json", "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(LoaderError, match="packed cache"):
+        load_checkpoint(path, dtype=jnp.float32)
+
+
+def test_truncated_packed_blob_is_loader_error(ckpt, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "trunc_packed")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    load_checkpoint(path, convert_checkpoints=True)
+    stem = os.path.splitext(path)[0]
+    with open(f"{stem}-decoder.packed.npy", "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(LoaderError, match="packed cache"):
+        load_checkpoint(path)
