@@ -27,27 +27,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634  # exp(x) = exp2(x * log2 e)
+
+
 def _one_head(q, k, v, scale: float, n_valid: int):
-    """(N, D) single-head attention, scores in f32 on the MXU."""
-    n_pad = q.shape[0]
+    """(N, D) single-head attention, scores in f32 on the MXU.
+
+    The kernel is VPU-bound, not MXU-bound: at D = 64 both matmuls already
+    sit at the MXU's 128-minimum-dim time floor, so every full pass over
+    the (N, N) score tile is pure added latency.  Measured on v5e, the
+    naive 7-pass softmax (scale, mask select, row max, sub, exp, div, row
+    sum) ran the kernel at 4.3x its matmul floor.  This version moves all
+    but two passes off the VPU:
+
+    * the softmax scale -- folded into q, an (N, D) multiply (the
+      reference also pre-scales q, vit.rs:66), together with log2(e) so
+      the exponential is a native ``exp2``;
+    * the padded-key mask -- an extra contraction column: q gains a column
+      of ones, k a column that is 0 for valid rows and -1e30 for padded
+      rows, so the MXU adds the mask bias while it computes the scores.
+      D 64 -> 65 is free (the MXU pads the contraction to 128 regardless);
+    * the softmax denominator -- a column of ones appended to v, so the
+      P@V matmul also emits the row sums (the MXU output tile is 128 wide;
+      at D = 64 those lanes are otherwise wasted);
+    * normalisation -- deferred past P@V, dividing the (N, D) output rows
+      (identical result; P@V is linear in P).
+
+    Remaining score-tile passes: row max, fused sub+exp2+cast.
+    """
+    n_pad, d = q.shape
+    dt = q.dtype
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(dt)
+    ones = jnp.ones((n_pad, 1), dt)
+    if n_valid < n_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        bias = jnp.where(row < n_valid, jnp.float32(0.0),
+                         jnp.float32(-1e30)).astype(dt)
+        qs = jnp.concatenate([qs, ones], axis=1)
+        k = jnp.concatenate([k, bias], axis=1)
     s = jax.lax.dot_general(
-        q, k,
+        qs, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (N_pad, N_pad)
-    s = s * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-    s = jnp.where(col < n_valid, s, jnp.float32(-1e30))
+    )  # (N_pad, N_pad), log2-domain scores, padded cols at -1e30
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m).astype(dt)
 
-    return jax.lax.dot_general(
-        p.astype(q.dtype), v,
+    ov = jax.lax.dot_general(
+        p, jnp.concatenate([v, ones], axis=1),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (N_pad, D + 1): P@V alongside the row sums
+    return ov[:, :d] / ov[:, d:d + 1]
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
@@ -156,9 +188,12 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
         raise ValueError(f"token axis must be lane-aligned, got {N}")
     # Mosaic wants lane-aligned block widths: group heads until the block
     # spans a multiple of 128 features; beyond alignment, larger groups
-    # amortise per-program overhead. Cap blocks at 512 features: 1024-wide
-    # blocks measured <1% faster but sit at the edge of the 16 MB VMEM
-    # budget (q/k/v/o double-buffers + two f32 score tiles).
+    # amortise per-program overhead. Cap the block width by dtype so the
+    # double-buffered q/k/v/o blocks plus the f32 score tiles stay inside
+    # the 16 MB VMEM budget: 512 features at <=2-byte dtypes (1024-wide
+    # measured <1% faster but sits at the VMEM cliff); 256 at f32 (a 512
+    # cap was measured to OOM scoped vmem at 22.5 MB on the f32 FOV path).
+    width_cap = 512 if jnp.dtype(qkv.dtype).itemsize <= 2 else 256
     if heads_per_block:
         hpb = heads_per_block
         while (hpb * D) % 128 != 0 and hpb < H:
@@ -168,7 +203,7 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
         while (hpb * D) % 128 != 0 and hpb < H:
             hpb += 1
         best = hpb
-        while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= 512 \
+        while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= width_cap \
                 and (hpb * 2 * D) % 128 == 0:
             hpb *= 2
             best = hpb
