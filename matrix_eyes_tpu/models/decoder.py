@@ -25,6 +25,15 @@ Params = Dict
 
 
 def residual_conv_unit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
+
+    if use_pallas_conv3x3(x, p["conv1_w"]):
+        # fully fused RCU: both ReLUs run inside the conv kernels (VMEM
+        # passes) and the skip-add rides the second conv's epilogue --
+        # the naive form costs three materialised full-tensor passes
+        # (~2.2 ms at 768^2 x 256) between the convs
+        h = conv3x3_pallas(x, p["conv1_w"], p["conv1_b"], relu_in=True)
+        return conv3x3_pallas(h, p["conv2_w"], p["conv2_b"], skip=x, relu_in=True)
     out = nn.relu(x)
     out = nn.conv2d(out, p["conv1_w"], p["conv1_b"], padding=1)
     out = nn.relu(out)

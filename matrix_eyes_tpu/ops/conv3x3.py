@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: 3x3 stride-1 pad-1 convolution as 9 shifted matmuls.
+
+The decoder's hot path (decoder.rs:35-44 RCUs, 768^2 @ 256 channels) runs
+at ~106 TFLOP/s through XLA's conv lowering on v5e -- ~57% of the chip.
+The same convolution expressed as 9 shifted (R*W, Cin) @ (Cin, Cout)
+matmuls keeps the MXU in plain matmul mode at MXU-native shapes.
+
+Row halo without manual DMA: the kernel receives the SAME row-padded input
+through two BlockSpecs whose index maps differ by one block (rows
+[i*R, i*R+R) and [i*R+R, i*R+2R)), so consecutive blocks overlap-read and
+every program sees the R+2 rows it needs.  Column halo is handled inside
+the kernel with slice+zero-column concatenation (the full width is
+resident in VMEM).  Both input streams are auto double-buffered by the
+Pallas pipeline; the extra read traffic (input fetched twice) overlaps
+with compute.
+
+Used when: stride 1, padding 1, HWIO weights, NHWC activations, width and
+channels lane-friendly (W*Cin a multiple of 128, Cin % 128 == 0).  The
+generic ``nn.conv2d`` remains the fallback everywhere else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
+                    relu_in: bool = False, has_skip: bool = False):
+    """x0/x1: consecutive (rows, W, Cin) row blocks of the row-padded input
+    (together covering padded rows [i*R, i*R+2R)); o: (rows, W, Cout).
+
+    ``relu_in`` applies ReLU to the input inside the kernel (one VMEM pass,
+    instead of a materialised XLA pass over the whole HBM tensor before the
+    conv); with ``has_skip`` an extra input block is a residual added to
+    the output (the RCU's skip connection, decoder.rs:43)."""
+    if has_skip:
+        skip_ref, o_ref, acc_ref = refs
+    else:
+        (o_ref, acc_ref), skip_ref = refs, None
+    W = x0_ref.shape[1]
+    cin = x0_ref.shape[2]
+    cout = o_ref.shape[2]
+    zcol = jnp.zeros((rows, 1, cin), x0_ref.dtype)
+    relu = (lambda t: jnp.maximum(t, jnp.zeros((), t.dtype))) if relu_in else (lambda t: t)
+
+    # Row tap u covers padded rows [i*R+u, i*R+u+R): rows [u, R) of x0 plus
+    # rows [0, u) of x1.  Rather than concatenating them (a VMEM copy of
+    # the whole tile per tap), matmul the two row runs separately and add
+    # each into the right rows of a VMEM scratch accumulator.
+    acc_ref[:] = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
+                                  (rows * W, cout))
+
+    def tap(tile, u, v, out_row0):
+        r = tile.shape[0]
+        tile = relu(tile)
+        if v == 0:
+            sh = jnp.concatenate([zcol[:r], tile[:, :-1]], axis=1)
+        elif v == 2:
+            sh = jnp.concatenate([tile[:, 1:], zcol[:r]], axis=1)
+        else:
+            sh = tile
+        part = jax.lax.dot_general(
+            sh.reshape(r * W, cin), w_ref[u, v],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        lo = out_row0 * W
+        acc_ref[lo:lo + r * W] = acc_ref[lo:lo + r * W] + part
+
+    for u in range(3):
+        for v in range(3):
+            tap(x0_ref[u:], u, v, 0)
+            if u > 0:
+                tap(x1_ref[:u], u, v, rows - u)
+    # rows beyond the true output height are garbage (they read zero pad
+    # rows); the caller slices them off, so just write them.
+    y = acc_ref[:].reshape(rows, W, cout)
+    if has_skip:
+        y = y + skip_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                      padding: int) -> bool:
+    if stride != 1 or padding != 1 or w.ndim != 4 or w.shape[:2] != (3, 3):
+        return False
+    if x.ndim != 4 or x.shape[0] != 1:
+        return False
+    if jnp.dtype(x.dtype) == jnp.float16:
+        return False  # Mosaic has no f16
+    _, H, W, Cin = x.shape
+    cout = w.shape[3]
+    return Cin % 128 == 0 and cout % 128 == 0 and W % 8 == 0 and H >= 8
+
+
+@functools.partial(jax.jit, static_argnames=("relu_in", "interpret"))
+def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+                   skip: jnp.ndarray | None = None, relu_in: bool = False,
+                   interpret: bool = False) -> jnp.ndarray:
+    """x: (1, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; stride 1, pad 1.
+
+    ``relu_in``: apply ReLU to x inside the kernel; ``skip``: optional
+    (1, H, W, Cout) residual added to the output."""
+    _, H, W, Cin = x.shape
+    cout = w.shape[3]
+    dt = x.dtype
+    if b is None:
+        b = jnp.zeros((cout,), dt)
+
+    # Row-block size: VMEM holds 2 specs x 2 pipeline buffers of
+    # (R, W, Cin) bf16, the (R*W, Cout) f32 accumulator, the weights and
+    # the output block -- R=4 at 768x256 is ~12 MB; drop to 2 beyond that.
+    rows = 4 if W * max(Cin, cout) <= 768 * 256 else 2
+    n_blocks = -(-H // rows)  # cdiv over output rows
+    # padded rows: 1 top halo; bottom so that block i+1 exists for every i
+    pad_bottom = (n_blocks + 1) * rows - H - 1
+    xp = jnp.pad(x[0], ((1, pad_bottom), (0, 0), (0, 0)))
+
+    spec0 = pl.BlockSpec((rows, W, Cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((rows, W, Cin), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((3, 3, Cin, cout), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    ospec = pl.BlockSpec((rows, W, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [spec0, spec1, wspec, bspec]
+    inputs = [xp, xp, w, b.reshape(1, cout)]
+    if skip is not None:
+        sp = jnp.pad(skip[0], ((0, n_blocks * rows - H), (0, 0), (0, 0)))
+        in_specs.append(ospec)
+        inputs.append(sp)
+
+    kernel = functools.partial(_conv3x3_kernel, rows=rows, relu_in=relu_in,
+                               has_skip=skip is not None)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * rows, W, cout), dt),
+        scratch_shapes=[pltpu.VMEM((rows * W, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * Cin * cout * 9,
+            bytes_accessed=(2 * H * W * Cin + H * W * cout) * jnp.dtype(dt).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:H][None]
+
+
+def use_pallas_conv3x3(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                       padding: int = 1) -> bool:
+    """Dispatch gate shared by nn.conv2d and the decoder's fused RCU path:
+    shape support + TPU backend + not disabled via env."""
+    import os
+
+    if "MATRIX_EYES_NO_PALLAS_CONV" in os.environ:
+        return False
+    return conv3x3_supported(x, w, stride, padding) and jax.default_backend() == "tpu"

@@ -87,15 +87,57 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int)
 
 
 def _attention_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, o_ref, *,
-                          scale: float, n_valid: int, heads_per_block: int):
+                          scale: float, n_valid: int, heads_per_block: int,
+                          pipelined: bool = True):
     """Block holds ``heads_per_block`` heads side by side on the feature
-    axis (so the block width is a lane multiple); attend each in turn."""
+    axis (so the block width is a lane multiple); attend each in turn.
+
+    With ``pipelined``, the head loop is software-pipelined: head h+1's
+    QK^T (MXU) is issued before head h's softmax (VPU), making the
+    cross-head independence explicit so the scheduler can overlap matrix
+    and vector work.
+    """
+    n_pad = qkv_q_ref.shape[1]
     d = qkv_q_ref.shape[2] // heads_per_block
-    for h in range(heads_per_block):
+    dt = o_ref.dtype
+    ones = jnp.ones((n_pad, 1), dt)
+    masked = n_valid < n_pad
+    if masked:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        bias = jnp.where(row < n_valid, jnp.float32(0.0),
+                         jnp.float32(-1e30)).astype(dt)
+
+    def qk(h):
         sl = slice(h * d, (h + 1) * d)
-        o = _one_head(qkv_q_ref[0, :, sl], qkv_k_ref[0, :, sl], qkv_v_ref[0, :, sl],
-                      scale, n_valid)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        qs = (qkv_q_ref[0, :, sl].astype(jnp.float32)
+              * (scale * _LOG2E)).astype(dt)
+        k = qkv_k_ref[0, :, sl]
+        if masked:
+            qs = jnp.concatenate([qs, ones], axis=1)
+            k = jnp.concatenate([k, bias], axis=1)
+        return jax.lax.dot_general(
+            qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def softmax_pv(s, h):
+        sl = slice(h * d, (h + 1) * d)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m).astype(dt)
+        ov = jax.lax.dot_general(
+            p, jnp.concatenate([qkv_v_ref[0, :, sl], ones], axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (ov[:, :d] / ov[:, d:d + 1]).astype(dt)
+
+    if pipelined:
+        s_cur = qk(0)
+        for h in range(heads_per_block):
+            s_next = qk(h + 1) if h + 1 < heads_per_block else None
+            softmax_pv(s_cur, h)
+            s_cur = s_next
+    else:
+        for h in range(heads_per_block):
+            softmax_pv(qk(h), h)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,10 +204,12 @@ def qkv_fusable(num_heads: int, head_dim: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "n_valid",
-                                             "heads_per_block", "interpret"))
+                                             "heads_per_block", "pipelined",
+                                             "interpret"))
 def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
                         n_valid: int | None = None,
                         heads_per_block: int | None = None,
+                        pipelined: bool = True,
                         interpret: bool = False) -> jnp.ndarray:
     """Fused attention straight from the qkv projection's output layout.
 
@@ -214,7 +258,8 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     W = hpb * D
 
     kernel = functools.partial(_attention_qkv_kernel, scale=float(scale),
-                               n_valid=n_valid, heads_per_block=hpb)
+                               n_valid=n_valid, heads_per_block=hpb,
+                               pipelined=pipelined)
 
     def col(sec):  # feature-axis block index for q/k/v section + head group
         return lambda b, h: (b, 0, sec * n_blocks + h)

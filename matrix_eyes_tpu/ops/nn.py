@@ -68,7 +68,17 @@ def conv2d(
     stride: int = 1,
     padding: int = 0,
 ) -> jnp.ndarray:
-    """2D convolution, NHWC activations, HWIO weights, f32 accumulation."""
+    """2D convolution, NHWC activations, HWIO weights, f32 accumulation.
+
+    On TPU, 3x3/s1/p1 convolutions with lane-aligned channels (the
+    decoder's and head's hot shapes) dispatch to the Pallas shifted-matmul
+    kernel (ops/conv3x3.py), measured ~10% faster than XLA's conv lowering
+    at 768^2 x 256; everything else takes XLA's lowering, which round 1
+    measured as the best formulation for the general case."""
+    from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
+
+    if use_pallas_conv3x3(x, w, stride, padding):
+        return conv3x3_pallas(x, w, b)
     y = lax.conv_general_dilated(
         x,
         w,

@@ -1,0 +1,54 @@
+"""Pallas 3x3 shifted-matmul conv kernel vs the XLA conv (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.ops import nn
+from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
+
+
+@pytest.mark.parametrize("shape", [
+    (16, 16, 128, 128),   # minimal lanes
+    (12, 16, 128, 256),   # H not a multiple of the row block
+    (8, 24, 256, 128),
+])
+def test_conv3x3_matches_xla(shape):
+    H, W, Cin, Cout = shape
+    rng = np.random.RandomState(sum(shape))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, Cin, Cout)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-0.5, 0.5, (Cout,)).astype(np.float32))
+    assert conv3x3_supported(x, w, 1, 1)
+    want = nn.conv2d(x, w, b, stride=1, padding=1)
+    got = conv3x3_pallas(x, w, b, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_relu_in_and_skip():
+    # fused RCU form: relu inside the kernel, residual on the output
+    H, W, Cin = 12, 16, 128
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, Cin, Cin)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-0.5, 0.5, (Cin,)).astype(np.float32))
+    skip = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    want = nn.conv2d(nn.relu(x), w, b, padding=1) + skip
+    got = conv3x3_pallas(x, w, b, skip=skip, relu_in=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_support_gate():
+    x = jnp.zeros((1, 16, 16, 128))
+    w = jnp.zeros((3, 3, 128, 128))
+    assert conv3x3_supported(x, w, 1, 1)
+    assert not conv3x3_supported(x, w, 2, 1)           # stride
+    assert not conv3x3_supported(x, w, 1, 0)           # padding
+    assert not conv3x3_supported(jnp.zeros((2, 16, 16, 128)), w, 1, 1)  # batch
+    assert not conv3x3_supported(jnp.zeros((1, 16, 16, 64)),
+                                 jnp.zeros((3, 3, 64, 128)), 1, 1)      # lanes
+    assert not conv3x3_supported(x.astype(jnp.float16), w, 1, 1)        # f16
