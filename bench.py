@@ -112,7 +112,9 @@ def main() -> None:
     for p, k in zip(perturbs[:e2e_iters], keys[:e2e_iters]):
         stereo_host = np.asarray(device_pipeline_img(photo, p, k))
         buf = _io.BytesIO()
-        Image.fromarray(stereo_host).save(buf, format="PNG")
+        # compress_level=1 matches the CLI's stereogram save path: noise
+        # chains are incompressible, so higher zlib levels only burn CPU
+        Image.fromarray(stereo_host).save(buf, format="PNG", compress_level=1)
     e2e_elapsed = (time.perf_counter() - t0) / e2e_iters
 
     print(json.dumps({
