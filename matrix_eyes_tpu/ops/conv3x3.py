@@ -42,6 +42,10 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
         skip_ref, o_ref, acc_ref = refs
     else:
         (o_ref, acc_ref), skip_ref = refs, None
+    x0_ref, x1_ref = x0_ref.at[0], x1_ref.at[0]
+    o_ref = o_ref.at[0]
+    if skip_ref is not None:
+        skip_ref = skip_ref.at[0]
     W = x0_ref.shape[1]
     cin = x0_ref.shape[2]
     cout = o_ref.shape[2]
@@ -74,7 +78,8 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
 
     for u in range(3):
         for v in range(3):
-            tap(x0_ref[u:], u, v, 0)
+            if u < rows:  # at rows=2, the u=2 tap reads x1 only
+                tap(x0_ref[u:], u, v, 0)
             if u > 0:
                 tap(x1_ref[:u], u, v, rows - u)
     # rows beyond the true output height are garbage (they read zero pad
@@ -89,7 +94,7 @@ def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
                       padding: int) -> bool:
     if stride != 1 or padding != 1 or w.ndim != 4 or w.shape[:2] != (3, 3):
         return False
-    if x.ndim != 4 or x.shape[0] != 1:
+    if x.ndim != 4:
         return False
     if jnp.dtype(x.dtype) == jnp.float16:
         return False  # Mosaic has no f16
@@ -102,39 +107,56 @@ def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
 def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                    skip: jnp.ndarray | None = None, relu_in: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
-    """x: (1, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; stride 1, pad 1.
+    """x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; stride 1, pad 1.
 
     ``relu_in``: apply ReLU to x inside the kernel; ``skip``: optional
-    (1, H, W, Cout) residual added to the output."""
-    _, H, W, Cin = x.shape
+    (B, H, W, Cout) residual added to the output."""
+    B, H, W, Cin = x.shape
     cout = w.shape[3]
     dt = x.dtype
     if b is None:
         b = jnp.zeros((cout,), dt)
 
-    # Row-block size: VMEM holds 2 specs x 2 pipeline buffers of
-    # (R, W, Cin) bf16, the (R*W, Cout) f32 accumulator, the weights and
-    # the output block -- R=4 at 768x256 is ~12 MB; drop to 2 beyond that.
-    rows = 4 if W * max(Cin, cout) <= 768 * 256 else 2
+    # Row-block size: largest R whose VMEM footprint fits the 16 MB budget
+    # (with ~2 MB slop for Mosaic temporaries).  Per program: two input
+    # streams and the output, each double-buffered, the optional skip
+    # stream, the f32 accumulator and the resident weights.  (A fixed R=4
+    # was measured 17 KB over the limit once the skip stream was added at
+    # 768^2 x 256.)
+    isz = jnp.dtype(dt).itemsize
+
+    def vmem_bytes(r):
+        return (2 * 2 * r * W * Cin * isz            # x0/x1, double-buffered
+                + 2 * r * W * cout * isz             # out
+                + (2 * r * W * cout * isz if skip is not None else 0)
+                + r * W * cout * 4                   # f32 accumulator
+                + 9 * Cin * cout * isz + 2 * cout * isz)
+
+    rows = 2
+    for r in (8, 4):
+        if vmem_bytes(r) <= 14 * 1024 * 1024:
+            rows = r
+            break
     n_blocks = -(-H // rows)  # cdiv over output rows
     # padded rows: 1 top halo; bottom so that block i+1 exists for every i
     pad_bottom = (n_blocks + 1) * rows - H - 1
-    xp = jnp.pad(x[0], ((1, pad_bottom), (0, 0), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (1, pad_bottom), (0, 0), (0, 0)))
 
-    spec0 = pl.BlockSpec((rows, W, Cin), lambda i: (i, 0, 0),
+    spec0 = pl.BlockSpec((1, rows, W, Cin), lambda bb, i: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((rows, W, Cin), lambda i: (i + 1, 0, 0),
+    spec1 = pl.BlockSpec((1, rows, W, Cin), lambda bb, i: (bb, i + 1, 0, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((3, 3, Cin, cout), lambda i: (0, 0, 0, 0),
+    wspec = pl.BlockSpec((3, 3, Cin, cout), lambda bb, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, cout), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM)
 
-    ospec = pl.BlockSpec((rows, W, cout), lambda i: (i, 0, 0),
+    ospec = pl.BlockSpec((1, rows, W, cout), lambda bb, i: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [spec0, spec1, wspec, bspec]
     inputs = [xp, xp, w, b.reshape(1, cout)]
     if skip is not None:
-        sp = jnp.pad(skip[0], ((0, n_blocks * rows - H), (0, 0), (0, 0)))
+        sp = jnp.pad(skip, ((0, 0), (0, n_blocks * rows - H), (0, 0), (0, 0)))
         in_specs.append(ospec)
         inputs.append(sp)
 
@@ -142,19 +164,19 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                                has_skip=skip is not None)
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(B, n_blocks),
         in_specs=in_specs,
         out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * rows, W, cout), dt),
+        out_shape=jax.ShapeDtypeStruct((B, n_blocks * rows, W, cout), dt),
         scratch_shapes=[pltpu.VMEM((rows * W, cout), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * H * W * Cin * cout * 9,
-            bytes_accessed=(2 * H * W * Cin + H * W * cout) * jnp.dtype(dt).itemsize,
+            flops=2 * B * H * W * Cin * cout * 9,
+            bytes_accessed=B * (2 * H * W * Cin + H * W * cout) * jnp.dtype(dt).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:H][None]
+    return out[:, :H]
 
 
 def use_pallas_conv3x3(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,

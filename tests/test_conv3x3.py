@@ -10,14 +10,14 @@ from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
 
 
 @pytest.mark.parametrize("shape", [
-    (16, 16, 128, 128),   # minimal lanes
-    (12, 16, 128, 256),   # H not a multiple of the row block
-    (8, 24, 256, 128),
+    (1, 16, 16, 128, 128),   # minimal lanes
+    (1, 12, 16, 128, 256),   # H not a multiple of the row block
+    (3, 8, 24, 256, 128),    # batched (the throughput config)
 ])
 def test_conv3x3_matches_xla(shape):
-    H, W, Cin, Cout = shape
+    B, H, W, Cin, Cout = shape
     rng = np.random.RandomState(sum(shape))
-    x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, Cin)).astype(np.float32))
     w = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, Cin, Cout)).astype(np.float32))
     b = jnp.asarray(rng.uniform(-0.5, 0.5, (Cout,)).astype(np.float32))
     assert conv3x3_supported(x, w, 1, 1)
@@ -42,13 +42,28 @@ def test_conv3x3_relu_in_and_skip():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_conv3x3_rows2_path():
+    # Full decoder width with a skip stream forces the rows=2 VMEM sizing
+    # (the configuration that OOM'd scoped vmem by 17 KB at rows=4); at
+    # rows=2 the u=2 row tap reads exclusively from the second row block.
+    H, W, Cin = 4, 768, 256
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.1, 0.1, (3, 3, Cin, Cin)).astype(np.float32))
+    skip = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    want = nn.conv2d(nn.relu(x), w, padding=1) + skip
+    got = conv3x3_pallas(x, w, None, skip=skip, relu_in=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_conv3x3_support_gate():
     x = jnp.zeros((1, 16, 16, 128))
     w = jnp.zeros((3, 3, 128, 128))
     assert conv3x3_supported(x, w, 1, 1)
     assert not conv3x3_supported(x, w, 2, 1)           # stride
     assert not conv3x3_supported(x, w, 1, 0)           # padding
-    assert not conv3x3_supported(jnp.zeros((2, 16, 16, 128)), w, 1, 1)  # batch
+    assert conv3x3_supported(jnp.zeros((2, 16, 16, 128)), w, 1, 1)  # batched ok
     assert not conv3x3_supported(jnp.zeros((1, 16, 16, 64)),
                                  jnp.zeros((3, 3, 64, 128)), 1, 1)      # lanes
     assert not conv3x3_supported(x.astype(jnp.float16), w, 1, 1)        # f16
