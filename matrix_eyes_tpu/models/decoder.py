@@ -24,31 +24,45 @@ from matrix_eyes_tpu.ops import nn
 Params = Dict
 
 
-def residual_conv_unit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def residual_conv_unit(p: Params, x: jnp.ndarray,
+                       extra_skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """RCU (decoder.rs:35-44); ``extra_skip`` folds a caller-side residual
+    (the fusion block's skip-add, decoder.rs:88) into the same epilogue."""
     from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
 
     if use_pallas_conv3x3(x, p["conv1_w"]):
         # fully fused RCU: both ReLUs run inside the conv kernels (VMEM
-        # passes) and the skip-add rides the second conv's epilogue --
+        # passes) and the skip-adds ride the second conv's epilogue --
         # the naive form costs three materialised full-tensor passes
         # (~2.2 ms at 768^2 x 256) between the convs
         h = conv3x3_pallas(x, p["conv1_w"], p["conv1_b"], relu_in=True)
-        return conv3x3_pallas(h, p["conv2_w"], p["conv2_b"], skip=x, relu_in=True)
+        return conv3x3_pallas(h, p["conv2_w"], p["conv2_b"], skip=x,
+                              skip2=extra_skip, relu_in=True)
     out = nn.relu(x)
     out = nn.conv2d(out, p["conv1_w"], p["conv1_b"], padding=1)
     out = nn.relu(out)
     out = nn.conv2d(out, p["conv2_w"], p["conv2_b"], padding=1)
-    return x + out
+    out = x + out
+    return out if extra_skip is None else out + extra_skip
 
 
 def feature_fusion_block(p: Params, x0: jnp.ndarray,
                          x1: Optional[jnp.ndarray]) -> jnp.ndarray:
     out = x0
     if x1 is not None:
-        out = x0 + residual_conv_unit(p["resnet1"], x1)
+        out = residual_conv_unit(p["resnet1"], x1, extra_skip=x0)
     out = residual_conv_unit(p["resnet2"], out)
     if "deconv_w" in p:
-        out = nn.deconv2x2(out, p["deconv_w"])  # bias-free (decoder.rs:65-68)
+        # The bias-free 2x2/s2 deconv (decoder.rs:65-68) and the 1x1 out
+        # conv have no nonlinearity between them, so the 1x1 composes into
+        # the deconv's matmul: (Ci, 4, Co) @ (Co, Cout) -> one matmul +
+        # depth-to-space instead of two passes over the upsampled grid.
+        wd = p["deconv_w"].astype(jnp.float32)        # (Ci, 4*Co)
+        w1 = p["out_conv_w"].astype(jnp.float32)      # (Co, Cout)
+        ci = wd.shape[0]
+        co = wd.shape[1] // 4
+        w = (wd.reshape(ci, 4, co) @ w1).reshape(ci, 4 * w1.shape[1])
+        return nn.deconv2x2(out, w.astype(out.dtype), p["out_conv_b"])
     return nn.linear(out, p["out_conv_w"], p["out_conv_b"])  # 1x1 conv
 
 

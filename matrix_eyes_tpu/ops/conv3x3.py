@@ -30,22 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
-                    relu_in: bool = False, has_skip: bool = False):
+                    relu_in: bool = False, n_skips: int = 0):
     """x0/x1: consecutive (rows, W, Cin) row blocks of the row-padded input
     (together covering padded rows [i*R, i*R+2R)); o: (rows, W, Cout).
 
     ``relu_in`` applies ReLU to the input inside the kernel (one VMEM pass,
     instead of a materialised XLA pass over the whole HBM tensor before the
-    conv); with ``has_skip`` an extra input block is a residual added to
-    the output (the RCU's skip connection, decoder.rs:43)."""
-    if has_skip:
-        skip_ref, o_ref, acc_ref = refs
-    else:
-        (o_ref, acc_ref), skip_ref = refs, None
+    conv); ``n_skips`` extra input blocks are residuals added to the output
+    (the RCU's skip connection, decoder.rs:43, and the fusion block's
+    skip-add, decoder.rs:88 -- each saves a full-tensor XLA pass)."""
+    skip_refs = [r.at[0] for r in refs[:n_skips]]
+    o_ref, acc_ref = refs[n_skips], refs[n_skips + 1]
     x0_ref, x1_ref = x0_ref.at[0], x1_ref.at[0]
     o_ref = o_ref.at[0]
-    if skip_ref is not None:
-        skip_ref = skip_ref.at[0]
     W = x0_ref.shape[1]
     cin = x0_ref.shape[2]
     cout = o_ref.shape[2]
@@ -85,8 +82,8 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
     # rows beyond the true output height are garbage (they read zero pad
     # rows); the caller slices them off, so just write them.
     y = acc_ref[:].reshape(rows, W, cout)
-    if has_skip:
-        y = y + skip_ref[:].astype(jnp.float32)
+    for s_ref in skip_refs:
+        y = y + s_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
@@ -105,12 +102,15 @@ def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
 
 @functools.partial(jax.jit, static_argnames=("relu_in", "interpret"))
 def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
-                   skip: jnp.ndarray | None = None, relu_in: bool = False,
+                   skip: jnp.ndarray | None = None,
+                   skip2: jnp.ndarray | None = None, relu_in: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; stride 1, pad 1.
 
-    ``relu_in``: apply ReLU to x inside the kernel; ``skip``: optional
-    (B, H, W, Cout) residual added to the output."""
+    ``relu_in``: apply ReLU to x inside the kernel; ``skip``/``skip2``:
+    optional (B, H, W, Cout) residuals added to the output."""
+    if skip is None and skip2 is not None:
+        skip, skip2 = skip2, None
     B, H, W, Cin = x.shape
     cout = w.shape[3]
     dt = x.dtype
@@ -126,9 +126,10 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     isz = jnp.dtype(dt).itemsize
 
     def vmem_bytes(r):
+        n_skips = (skip is not None) + (skip2 is not None)
         return (2 * 2 * r * W * Cin * isz            # x0/x1, double-buffered
                 + 2 * r * W * cout * isz             # out
-                + (2 * r * W * cout * isz if skip is not None else 0)
+                + n_skips * 2 * r * W * cout * isz
                 + r * W * cout * 4                   # f32 accumulator
                 + 9 * Cin * cout * isz + 2 * cout * isz)
 
@@ -155,13 +156,15 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                          memory_space=pltpu.VMEM)
     in_specs = [spec0, spec1, wspec, bspec]
     inputs = [xp, xp, w, b.reshape(1, cout)]
-    if skip is not None:
-        sp = jnp.pad(skip, ((0, 0), (0, n_blocks * rows - H), (0, 0), (0, 0)))
-        in_specs.append(ospec)
-        inputs.append(sp)
+    for s in (skip, skip2):
+        if s is not None:
+            in_specs.append(ospec)
+            inputs.append(jnp.pad(
+                s, ((0, 0), (0, n_blocks * rows - H), (0, 0), (0, 0))))
 
-    kernel = functools.partial(_conv3x3_kernel, rows=rows, relu_in=relu_in,
-                               has_skip=skip is not None)
+    kernel = functools.partial(
+        _conv3x3_kernel, rows=rows, relu_in=relu_in,
+        n_skips=(skip is not None) + (skip2 is not None))
     out = pl.pallas_call(
         kernel,
         grid=(B, n_blocks),
