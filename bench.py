@@ -79,7 +79,10 @@ def main() -> None:
     # Async completion signals can be optimistic through remote runtimes, so
     # measure total wall time for N pipelined iterations (each with unique
     # inputs) and force everything with one final host readback.
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # 24 iterations: at 8, per-dispatch overhead through the dev tunnel was
+    # still visible (~0.168 vs ~0.164 s/image); deeper pipelining hides it
+    # and 24 x ~0.17 s of device time is still trivial.
+    iters = int(os.environ.get("BENCH_ITERS", "24"))
     perturbs = [jnp.int32(rng.randint(1, 255)) for _ in range(iters)]
     keys = [jax.random.PRNGKey(rng.randint(0, 2**31 - 1)) for _ in range(iters)]
     for p, k in zip(perturbs, keys):
