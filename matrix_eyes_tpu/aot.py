@@ -84,6 +84,11 @@ def _key(name: str, args: Sequence[Any], salt: str) -> str:
     desc = "\n".join([
         name,
         salt,
+        # compile-affecting environment toggles: without these in the key a
+        # warm cache silently replays an executable compiled under the old
+        # settings (e.g. the Pallas-conv kill switch having no effect)
+        os.environ.get("MATRIX_EYES_NO_PALLAS_CONV", ""),
+        os.environ.get("XLA_FLAGS", ""),
         jax.__version__,
         getattr(dev, "device_kind", "?"),
         getattr(dev.client, "platform", "?"),
@@ -137,7 +142,14 @@ def call_cached(name: str, fn: Callable, args: Tuple, salt: str = ""):
     failure falls back to a fresh jit compile, then repopulates the cache.
     """
     if not enabled():
-        return jax.jit(fn)(*args)
+        # Cache the jitted callable by key so repeated calls (batch mode)
+        # hit jax.jit's own compilation cache instead of retracing a fresh
+        # closure per image.
+        key = "nojit-" + _key(name, args, salt)
+        jitted = _live.get(key)
+        if jitted is None:
+            jitted = _live[key] = jax.jit(fn)
+        return jitted(*args)
     key = _key(name, args, salt)
     comp = _live.get(key)
     if comp is None:

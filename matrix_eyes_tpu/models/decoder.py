@@ -30,7 +30,8 @@ def residual_conv_unit(p: Params, x: jnp.ndarray,
     (the fusion block's skip-add, decoder.rs:88) into the same epilogue."""
     from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
 
-    if use_pallas_conv3x3(x, p["conv1_w"]):
+    n_skips = 1 + (extra_skip is not None)
+    if use_pallas_conv3x3(x, p["conv1_w"], n_skips=n_skips):
         # fully fused RCU: both ReLUs run inside the conv kernels (VMEM
         # passes) and the skip-adds ride the second conv's epilogue --
         # the naive form costs three materialised full-tensor passes

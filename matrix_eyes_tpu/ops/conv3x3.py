@@ -14,9 +14,10 @@ resident in VMEM).  Both input streams are auto double-buffered by the
 Pallas pipeline; the extra read traffic (input fetched twice) overlaps
 with compute.
 
-Used when: stride 1, padding 1, HWIO weights, NHWC activations, width and
-channels lane-friendly (W*Cin a multiple of 128, Cin % 128 == 0).  The
-generic ``nn.conv2d`` remains the fallback everywhere else.
+Used when: stride 1, padding 1, HWIO weights, NHWC activations, channels
+lane-aligned (Cin/Cout multiples of 128), the VMEM footprint estimate
+fits at some row-block size, and the run is single-chip TPU.  The generic
+``nn.conv2d`` remains the fallback everywhere else.
 """
 
 from __future__ import annotations
@@ -87,8 +88,31 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+
+
+def _pick_rows(W: int, cin: int, cout: int, itemsize: int,
+               n_skips: int) -> int | None:
+    """Largest row-block size whose VMEM footprint fits the 16 MB scoped
+    budget (with ~2 MB slop for Mosaic temporaries): two double-buffered
+    input streams, the output, the skip streams, the f32 accumulator and
+    the resident weights.  None if even rows=2 does not fit (the caller
+    must fall back to XLA's conv)."""
+
+    def vmem_bytes(r):
+        return (2 * 2 * r * W * cin * itemsize        # x0/x1, double-buffered
+                + 2 * r * W * cout * itemsize         # out
+                + n_skips * 2 * r * W * cout * itemsize
+                + r * W * cout * 4                    # f32 accumulator
+                + 9 * cin * cout * itemsize + 2 * cout * itemsize)
+
+    for r in (8, 4, 2):
+        if vmem_bytes(r) <= 14 * 1024 * 1024:
+            return r
+    return None
+
+
 def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
-                      padding: int) -> bool:
+                      padding: int, n_skips: int = 0) -> bool:
     if stride != 1 or padding != 1 or w.ndim != 4 or w.shape[:2] != (3, 3):
         return False
     if x.ndim != 4:
@@ -97,7 +121,11 @@ def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
         return False  # Mosaic has no f16
     _, H, W, Cin = x.shape
     cout = w.shape[3]
-    return Cin % 128 == 0 and cout % 128 == 0 and W % 8 == 0 and H >= 8
+    if not (Cin % 128 == 0 and cout % 128 == 0 and W % 8 == 0 and H >= 8):
+        return False
+    # f32 at the decoder's largest shapes can exceed scoped VMEM even at
+    # the smallest row block; fall back to XLA's conv there.
+    return _pick_rows(W, Cin, cout, jnp.dtype(x.dtype).itemsize, n_skips) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("relu_in", "interpret"))
@@ -117,27 +145,16 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     if b is None:
         b = jnp.zeros((cout,), dt)
 
-    # Row-block size: largest R whose VMEM footprint fits the 16 MB budget
-    # (with ~2 MB slop for Mosaic temporaries).  Per program: two input
-    # streams and the output, each double-buffered, the optional skip
-    # stream, the f32 accumulator and the resident weights.  (A fixed R=4
-    # was measured 17 KB over the limit once the skip stream was added at
-    # 768^2 x 256.)
-    isz = jnp.dtype(dt).itemsize
-
-    def vmem_bytes(r):
-        n_skips = (skip is not None) + (skip2 is not None)
-        return (2 * 2 * r * W * Cin * isz            # x0/x1, double-buffered
-                + 2 * r * W * cout * isz             # out
-                + n_skips * 2 * r * W * cout * isz
-                + r * W * cout * 4                   # f32 accumulator
-                + 9 * Cin * cout * isz + 2 * cout * isz)
-
-    rows = 2
-    for r in (8, 4):
-        if vmem_bytes(r) <= 14 * 1024 * 1024:
-            rows = r
-            break
+    # (A fixed row-block size was measured 17 KB over the scoped-VMEM
+    # limit once the skip stream was added at 768^2 x 256 -- size from the
+    # explicit footprint estimate instead.)
+    rows = _pick_rows(W, Cin, cout, jnp.dtype(dt).itemsize,
+                      (skip is not None) + (skip2 is not None))
+    if rows is None:
+        raise ValueError(
+            f"conv3x3_pallas does not fit VMEM at W={W} Cin={Cin} "
+            f"Cout={cout} dtype={dt}; gate with conv3x3_supported/"
+            f"use_pallas_conv3x3 (which check this) and use nn.conv2d")
     n_blocks = -(-H // rows)  # cdiv over output rows
     # padded rows: 1 top halo; bottom so that block i+1 exists for every i
     pad_bottom = (n_blocks + 1) * rows - H - 1
@@ -183,11 +200,18 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 
 
 def use_pallas_conv3x3(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-                       padding: int = 1) -> bool:
+                       padding: int = 1, n_skips: int = 0) -> bool:
     """Dispatch gate shared by nn.conv2d and the decoder's fused RCU path:
-    shape support + TPU backend + not disabled via env."""
+    shape/VMEM support + single-chip TPU backend + not disabled via env.
+
+    Multi-device runs keep XLA's conv: a pallas_call is an opaque custom
+    call to GSPMD, so inside a sharded computation it would force the
+    activations to be replicated/gathered instead of partitioned (a
+    shard_map-wrapped formulation is the future path there)."""
     import os
 
     if "MATRIX_EYES_NO_PALLAS_CONV" in os.environ:
         return False
-    return conv3x3_supported(x, w, stride, padding) and jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return False
+    return conv3x3_supported(x, w, stride, padding, n_skips)

@@ -30,56 +30,55 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634  # exp(x) = exp2(x * log2 e)
 
 
-def _one_head(q, k, v, scale: float, n_valid: int):
-    """(N, D) single-head attention, scores in f32 on the MXU.
-
-    The kernel is VPU-bound, not MXU-bound: at D = 64 both matmuls already
-    sit at the MXU's 128-minimum-dim time floor, so every full pass over
-    the (N, N) score tile is pure added latency.  Measured on v5e, the
-    naive 7-pass softmax (scale, mask select, row max, sub, exp, div, row
-    sum) ran the kernel at 4.3x its matmul floor.  This version moves all
-    but two passes off the VPU:
-
-    * the softmax scale -- folded into q, an (N, D) multiply (the
-      reference also pre-scales q, vit.rs:66), together with log2(e) so
-      the exponential is a native ``exp2``;
-    * the padded-key mask -- an extra contraction column: q gains a column
-      of ones, k a column that is 0 for valid rows and -1e30 for padded
-      rows, so the MXU adds the mask bias while it computes the scores.
-      D 64 -> 65 is free (the MXU pads the contraction to 128 regardless);
-    * the softmax denominator -- a column of ones appended to v, so the
-      P@V matmul also emits the row sums (the MXU output tile is 128 wide;
-      at D = 64 those lanes are otherwise wasted);
-    * normalisation -- deferred past P@V, dividing the (N, D) output rows
-      (identical result; P@V is linear in P).
-
-    Remaining score-tile passes: row max, fused sub+exp2+cast.
-    """
-    n_pad, d = q.shape
+def _qk_log2(q, k, scale: float, n_valid: int, ones):
+    """Masked log2-domain scores: scale (with log2 e) folded into q; the
+    padded-key mask rides an extra contraction column (0 for valid rows,
+    -1e30 for padded), added by the MXU during the matmul itself."""
+    n_pad = q.shape[0]
     dt = q.dtype
     qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(dt)
-    ones = jnp.ones((n_pad, 1), dt)
     if n_valid < n_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
         bias = jnp.where(row < n_valid, jnp.float32(0.0),
                          jnp.float32(-1e30)).astype(dt)
         qs = jnp.concatenate([qs, ones], axis=1)
         k = jnp.concatenate([k, bias], axis=1)
-    s = jax.lax.dot_general(
+    return jax.lax.dot_general(
         qs, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (N_pad, N_pad), log2-domain scores, padded cols at -1e30
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m).astype(dt)
 
+def _softmax_pv(s, v, ones):
+    """Row softmax of log2-domain scores times v, with the denominator
+    produced by the P@V matmul itself (a ones column appended to v -- at
+    D = 64 the MXU output lanes are otherwise wasted) and normalisation
+    deferred to the (N, D) output.  Two VPU passes over the score tile
+    remain: row max, fused sub+exp2+cast."""
+    d = v.shape[1]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m).astype(v.dtype)
     ov = jax.lax.dot_general(
         p, jnp.concatenate([v, ones], axis=1),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (N_pad, D + 1): P@V alongside the row sums
     return ov[:, :d] / ov[:, d:d + 1]
+
+
+def _one_head(q, k, v, scale: float, n_valid: int):
+    """(N, D) single-head attention, scores in f32 on the MXU.
+
+    The kernel is VPU-bound, not MXU-bound: at D = 64 both matmuls already
+    sit at the MXU\'s 128-minimum-dim time floor, so every full pass over
+    the (N, N) score tile is pure added latency (the naive 7-pass softmax
+    measured 4.3x the matmul floor on v5e).  See _qk_log2 / _softmax_pv --
+    the same helpers back the fused qkv-layout kernel, so the numerics
+    cannot diverge between the two entry points.
+    """
+    ones = jnp.ones((q.shape[0], 1), q.dtype)
+    return _softmax_pv(_qk_log2(q, k, scale, n_valid, ones), v, ones)
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
@@ -101,33 +100,15 @@ def _attention_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, o_ref, *,
     d = qkv_q_ref.shape[2] // heads_per_block
     dt = o_ref.dtype
     ones = jnp.ones((n_pad, 1), dt)
-    masked = n_valid < n_pad
-    if masked:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-        bias = jnp.where(row < n_valid, jnp.float32(0.0),
-                         jnp.float32(-1e30)).astype(dt)
 
     def qk(h):
         sl = slice(h * d, (h + 1) * d)
-        qs = (qkv_q_ref[0, :, sl].astype(jnp.float32)
-              * (scale * _LOG2E)).astype(dt)
-        k = qkv_k_ref[0, :, sl]
-        if masked:
-            qs = jnp.concatenate([qs, ones], axis=1)
-            k = jnp.concatenate([k, bias], axis=1)
-        return jax.lax.dot_general(
-            qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        return _qk_log2(qkv_q_ref[0, :, sl], qkv_k_ref[0, :, sl],
+                        scale, n_valid, ones)
 
     def softmax_pv(s, h):
         sl = slice(h * d, (h + 1) * d)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m).astype(dt)
-        ov = jax.lax.dot_general(
-            p, jnp.concatenate([qkv_v_ref[0, :, sl], ones], axis=1),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (ov[:, :d] / ov[:, d:d + 1]).astype(dt)
+        o_ref[0, :, sl] = _softmax_pv(s, qkv_v_ref[0, :, sl], ones).astype(dt)
 
     if pipelined:
         s_cur = qk(0)

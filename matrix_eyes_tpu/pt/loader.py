@@ -119,6 +119,11 @@ def save_packed_cache(checkpoint_path: str, part: str, part_params: Any,
     off = 0
     for leaf in leaves:
         a = np.asarray(leaf)
+        is_float = np.issubdtype(a.dtype, np.floating) or a.dtype == ml_dtypes.bfloat16
+        if not is_float:
+            raise LoaderError(
+                f"packed cache supports float leaves only, got {a.dtype} "
+                f"in part '{part}' (use the npz cache for mixed dtypes)")
         if a.dtype == ml_dtypes.bfloat16:
             a = a.astype(np.float32)
         a = a.astype(cache_dtype)
@@ -145,6 +150,7 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
         with open(manifest_path) as f:
             manifest = json.load(f)
         entries = manifest["entries"]
+        blob_dtype = manifest.get("dtype", "float16")
     except (OSError, ValueError, KeyError) as e:
         raise LoaderError(
             f"packed cache manifest {manifest_path} unreadable: {e} "
@@ -165,6 +171,10 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
         raise LoaderError(
             f"packed cache {npy} unreadable: {e} "
             "(stale cache? delete it to reconvert)") from e
+    if blob_dtype != "float16":
+        raise LoaderError(
+            f"packed cache {npy} has dtype {blob_dtype}, this loader reads "
+            "float16 blobs (stale cache? delete it to reconvert)")
     if blob.dtype != np.uint16 or blob.size != (entries[-1]["offset"] + entries[-1]["size"] if entries else 0):
         raise LoaderError(f"packed cache {npy} is corrupt (delete it to reconvert)")
     dev = jax.device_put(blob)
@@ -184,13 +194,40 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
     return jax.tree.unflatten(treedef, unpack(dev))
 
 
+def _pt_stat(checkpoint_path: str):
+    try:
+        st = os.stat(checkpoint_path)
+        return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    except OSError:
+        return None
+
+
 def _load_config_cache(path: str) -> ModelConfig:
     with open(path) as f:
         d = json.load(f)
+    d.pop("pt_stat", None)
     d["encoder_feature_dims"] = tuple(d["encoder_feature_dims"])
     d["head_last_dims"] = tuple(d["head_last_dims"])
     d["highres_block_ids"] = tuple(d["highres_block_ids"])
     return ModelConfig(**d)
+
+
+def _caches_stale(checkpoint_path: str) -> bool:
+    """True if the .pt on disk no longer matches the (size, mtime) stamp
+    recorded in the config cache at convert time -- i.e. the checkpoint was
+    replaced in place and every derived cache must be rebuilt.  Config
+    caches written before the stamp existed are grandfathered (no stamp ->
+    trusted), matching the reference's own .mpk staleness model."""
+    ccache = _config_cache_path(checkpoint_path)
+    if not os.path.exists(ccache):
+        return False
+    try:
+        with open(ccache) as f:
+            stamp = json.load(f).get("pt_stat")
+    except (OSError, ValueError):
+        return True
+    cur = _pt_stat(checkpoint_path)
+    return stamp is not None and cur is not None and stamp != cur
 
 
 def load_checkpoint(
@@ -208,6 +245,7 @@ def load_checkpoint(
     config comes from ``<stem>-config.json``.
     """
     flat: Optional[Dict[str, np.ndarray]] = None
+    stale = _caches_stale(checkpoint_path)
 
     def read_flat() -> Dict[str, np.ndarray]:
         nonlocal flat
@@ -221,7 +259,7 @@ def load_checkpoint(
 
     if cfg is None:
         ccache = _config_cache_path(checkpoint_path)
-        if os.path.exists(ccache):
+        if os.path.exists(ccache) and not stale:
             # The config cache is written atomically alongside the part
             # caches and also records fields not recoverable from shapes
             # (num_heads); prefer it whenever it exists so a warm run never
@@ -236,6 +274,9 @@ def load_checkpoint(
     for part in parts:
         cpath = _cache_path(checkpoint_path, part)
         ppath, pmanifest = _packed_paths(checkpoint_path, part)
+        if stale:
+            uncached.append(part)
+            continue
         if os.path.exists(ppath) and os.path.exists(pmanifest):
             if progress is not None:
                 progress.update_message(f"loading packed {part}")
@@ -265,7 +306,9 @@ def load_checkpoint(
                 save_part_cache(_cache_path(checkpoint_path, part), converted[part])
                 save_packed_cache(checkpoint_path, part, converted[part])
         if convert_checkpoints:
+            d = dataclasses.asdict(cfg)
+            d["pt_stat"] = _pt_stat(checkpoint_path)
             with open(_config_cache_path(checkpoint_path), "w") as f:
-                json.dump(dataclasses.asdict(cfg), f, indent=1)
+                json.dump(d, f, indent=1)
 
     return cfg, {part: out[part] for part in parts}

@@ -43,18 +43,40 @@ def test_conv3x3_relu_in_and_skip():
 
 
 def test_conv3x3_rows2_path():
-    # Full decoder width with a skip stream forces the rows=2 VMEM sizing
-    # (the configuration that OOM'd scoped vmem by 17 KB at rows=4); at
-    # rows=2 the u=2 row tap reads exclusively from the second row block.
-    H, W, Cin = 4, 768, 256
+    # Full decoder width with two skip streams forces the rows=2 VMEM
+    # sizing (the configuration class that OOM'd scoped vmem at a fixed
+    # row count); at rows=2 the u=2 row tap reads exclusively from the
+    # second row block.
+    from matrix_eyes_tpu.ops.conv3x3 import _pick_rows
+
+    H, W, Cin = 4, 768, 128
+    assert _pick_rows(W, Cin, Cin, 4, n_skips=2) == 2
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
     w = jnp.asarray(rng.uniform(-0.1, 0.1, (3, 3, Cin, Cin)).astype(np.float32))
     skip = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
-    want = nn.conv2d(nn.relu(x), w, padding=1) + skip
-    got = conv3x3_pallas(x, w, None, skip=skip, relu_in=True, interpret=True)
+    want = nn.conv2d(nn.relu(x), w, padding=1) + skip + 2.0 * skip
+    got = conv3x3_pallas(x, w, None, skip=skip, skip2=2.0 * skip,
+                         relu_in=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_vmem_gate_rejects_oversize_f32():
+    # f32 at the decoder's largest shape with the RCU's skip streams does
+    # not fit scoped VMEM at any row count: the gate must say no (XLA
+    # fallback) and the kernel must refuse loudly rather than OOM on-chip.
+    from matrix_eyes_tpu.ops.conv3x3 import _pick_rows
+
+    assert _pick_rows(768, 256, 256, 4, n_skips=1) is None
+    x = jnp.zeros((1, 8, 768, 256), jnp.float32)
+    w = jnp.zeros((3, 3, 256, 256), jnp.float32)
+    assert not conv3x3_supported(x, w, 1, 1, n_skips=1)
+    assert conv3x3_supported(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                             1, 1, n_skips=1)
+    with pytest.raises(ValueError, match="VMEM"):
+        conv3x3_pallas(x, w, None, skip=jnp.zeros((1, 8, 768, 256), jnp.float32),
+                       interpret=True)
 
 
 def test_conv3x3_support_gate():

@@ -170,3 +170,32 @@ def test_truncated_packed_blob_is_loader_error(ckpt, tmp_path):
         f.truncate(100)
     with pytest.raises(LoaderError, match="packed cache"):
         load_checkpoint(path)
+
+
+def test_replaced_checkpoint_invalidates_caches(ckpt, tmp_path):
+    # Replacing the .pt in place (different weights, same path) must not
+    # silently serve the previous model's cached config/weights: the
+    # config cache records the .pt's (size, mtime) at convert time.
+    import shutil
+
+    import numpy as np
+
+    import torch
+
+    import torch_ref
+    from matrix_eyes_tpu.config import TINY
+
+    d = str(tmp_path / "replace")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    _, p1 = load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+
+    # write a different-weight checkpoint at the same path (new mtime/size)
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=99)
+    torch.save(tm.state_dict(), path)
+
+    _, p2 = load_checkpoint(path, dtype=jnp.float32)
+    a = np.asarray(jax.tree.leaves(p1["head"])[0], np.float32)
+    b = np.asarray(jax.tree.leaves(p2["head"])[0], np.float32)
+    assert not np.allclose(a, b), "stale cached weights served after .pt replacement"
