@@ -35,6 +35,26 @@ from matrix_eyes_tpu.ops.attention import attention
 Params = Dict[str, jnp.ndarray]
 
 
+def _flash_sharding(batch: int):
+    """How the flash kernel may run for a ``batch``-row ViT instance:
+
+    * ``True`` -- plain single-computation kernel (no sharded context);
+    * ``(mesh, axis)`` -- run per-shard under shard_map (pure data-parallel
+      mesh whose axis divides the batch, e.g. the padded 40-patch pyramid);
+    * ``None`` -- flash not usable here (tensor parallelism splits the qkv
+      features mid-section; a non-dividing batch like the B=1 image/FOV
+      encoders would replicate the opaque kernel) -- use XLA attention.
+    """
+    from matrix_eyes_tpu.parallel.sharding import active_data_mesh, active_patch_context
+
+    if active_patch_context() is None:
+        return True
+    dm = active_data_mesh()
+    if dm is not None and batch % dm[0].shape[dm[1]] == 0:
+        return dm
+    return None
+
+
 def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
                   n_valid: int | None = None) -> jnp.ndarray:
     """One pre-norm transformer block (vit.rs:163-170)."""
@@ -49,8 +69,24 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
 
     if use_flash and N % 128 == 0 and qkv_fusable(H, D):
         # fused kernel reads heads straight out of the qkv layout -- no
-        # (3, B, H, N, D) transpose and no head-merge afterwards
-        o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+        # (3, B, H, N, D) transpose and no head-merge afterwards.
+        # _flash_sharding (checked by forward_features before enabling
+        # flash at all) decides whether to map the kernel over a
+        # data-parallel mesh: a pallas_call is opaque to the GSPMD
+        # partitioner, so inside a sharded computation it must be
+        # explicitly shard_mapped.
+        data_mesh = _flash_sharding(B)
+        if data_mesh not in (None, True):
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = data_mesh
+            o = shard_map(
+                lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
+                mesh=mesh, in_specs=(P(axis, None, None),),
+                out_specs=P(axis, None, None), check_rep=False)(qkv)
+        else:
+            o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
     else:
         qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -116,9 +152,16 @@ def forward_features(
     seq = tokens.shape[1]
 
     if use_flash:
-        from matrix_eyes_tpu.ops.flash_attention import flash_supported_dtype
+        from matrix_eyes_tpu.ops.flash_attention import flash_supported_dtype, qkv_fusable
 
         use_flash = flash_supported_dtype(tokens.dtype)
+        fs = _flash_sharding(tokens.shape[0])
+        if fs is None:
+            use_flash = False  # sharded context the kernels cannot map over
+        elif fs is not True:
+            # data-parallel shard_map path: only the fused qkv kernel is
+            # wrapped, so flash requires fusable head geometry here
+            use_flash = use_flash and qkv_fusable(cfg.num_heads, cfg.head_dim)
 
     # With the flash kernel, pad the token axis to a lane multiple ONCE for
     # all blocks (instead of per-attention pad/slice -- that would move the

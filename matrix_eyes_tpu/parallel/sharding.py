@@ -78,6 +78,30 @@ def shard_patches(x):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec)), n
 
 
+def active_patch_context():
+    """The (mesh, axis) of the enclosing ``patch_sharded`` context, or
+    None outside one."""
+    return _patch_ctx.get()
+
+
+def active_data_mesh():
+    """(mesh, axis) of the enclosing ``patch_sharded`` context when the
+    mesh is pure data-parallel (model axis of size 1), else None.
+
+    Used by the ViT to run the Pallas attention kernel per-shard under
+    ``shard_map``: a pallas_call is opaque to the GSPMD partitioner, so
+    inside a sharded computation it must be explicitly mapped over its
+    shards. With tensor parallelism (model > 1) the qkv features are
+    sharded mid-head-section, so those runs keep the XLA attention."""
+    ctx = _patch_ctx.get()
+    if ctx is None:
+        return None
+    mesh, axis = ctx
+    if any(size > 1 for name, size in mesh.shape.items() if name != axis):
+        return None
+    return mesh, axis
+
+
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
     """Place a leading-batch array sharded over ``axis`` (replicated if the
     batch doesn't divide the axis -- the pyramid patch axis still shards)."""

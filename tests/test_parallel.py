@@ -106,3 +106,82 @@ def test_mid_config_collectives_in_compiled_hlo():
     full_pyramid = f"[36,{cfg.vit_img_size},{cfg.vit_img_size},3]"
     assert per_device_pyramid in txt, "patch axis is not sharded per-device"
     assert full_pyramid not in txt, "unsharded full pyramid found in HLO"
+
+
+def test_flash_shard_mapped_on_data_mesh(monkeypatch):
+    # On a pure data-parallel mesh the fused attention kernel runs
+    # per-shard under shard_map (a pallas_call is opaque to GSPMD); the
+    # result must match the unsharded XLA attention path. MID is the
+    # smallest qkv-fusable config (head geometry lane-alignable).
+    #
+    # Interpret-mode Pallas inside shard_map deadlocks on the virtual CPU
+    # mesh, so this test validates the shard_map routing/specs with a
+    # same-signature reference attention in the kernel's place; the kernel
+    # numerics themselves are covered by tests/test_flash_attention.py on
+    # the identical math.
+    import numpy as np
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+    from matrix_eyes_tpu.ops import flash_attention
+
+    calls = []
+
+    def reference_qkv_attention(qkv, num_heads, scale, n_valid=None, **kw):
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        D = C // num_heads
+        calls.append(B)  # per-shard batch
+        q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, N, num_heads, D)
+                   .transpose(0, 2, 1, 3) for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if n_valid is not None and n_valid < N:
+            s = jnp.where(jnp.arange(N)[None, None, None, :] >= n_valid,
+                          jnp.float32(-1e30), s)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    cfg = MID
+    p = init_params(cfg, seed=11)["encoder"]["patch_encoder"]
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    want, _ = vit.forward_features(cfg, p, x, use_flash=False)
+
+    monkeypatch.setattr(flash_attention, "attention_flash_qkv",
+                        reference_qkv_attention)
+    mesh = make_mesh(8, model=1)
+    with patch_sharded(mesh):
+        assert vit._flash_sharding(8) not in (None, True)  # shard_map path
+        got, _ = vit.forward_features(cfg, p, x, use_flash=True)
+    assert calls and all(b == 1 for b in calls), \
+        f"kernel should see per-shard batches of 1, saw {set(calls)}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_disabled_under_tensor_parallel_mesh():
+    # Tensor parallelism splits the qkv features mid-section, so the flash
+    # kernels must silently yield to the XLA attention path (same numerics,
+    # no opaque custom call inside the GSPMD computation).
+    import numpy as np
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+
+    cfg = MID
+    p = init_params(cfg, seed=11)["encoder"]["patch_encoder"]
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    want, _ = vit.forward_features(cfg, p, x, use_flash=False)
+
+    mesh = make_mesh(8, model=2)
+    with patch_sharded(mesh):
+        assert vit._flash_sharding(4) is None
+        got, _ = vit.forward_features(cfg, p, x, use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
