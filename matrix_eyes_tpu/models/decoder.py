@@ -28,17 +28,23 @@ def residual_conv_unit(p: Params, x: jnp.ndarray,
                        extra_skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """RCU (decoder.rs:35-44); ``extra_skip`` folds a caller-side residual
     (the fusion block's skip-add, decoder.rs:88) into the same epilogue."""
-    from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
+    from matrix_eyes_tpu.ops.conv3x3 import conv3x3_dispatch
 
-    n_skips = 1 + (extra_skip is not None)
-    if use_pallas_conv3x3(x, p["conv1_w"], n_skips=n_skips):
-        # fully fused RCU: both ReLUs run inside the conv kernels (VMEM
-        # passes) and the skip-adds ride the second conv's epilogue --
-        # the naive form costs three materialised full-tensor passes
-        # (~2.2 ms at 768^2 x 256) between the convs
-        h = conv3x3_pallas(x, p["conv1_w"], p["conv1_b"], relu_in=True)
-        return conv3x3_pallas(h, p["conv2_w"], p["conv2_b"], skip=x,
-                              skip2=extra_skip, relu_in=True)
+    # fully fused RCU: both ReLUs run inside the conv kernels (VMEM
+    # passes) and the skip-adds ride the second conv's epilogue -- the
+    # naive form costs three materialised full-tensor passes (~2.2 ms at
+    # 768^2 x 256) between the convs. conv3x3_dispatch returns None when
+    # the kernel cannot run here (shape/VMEM/backend/mesh), including when
+    # only the SECOND conv's skip configuration doesn't fit.
+    h = conv3x3_dispatch(x, p["conv1_w"], p["conv1_b"], relu_in=True)
+    if h is not None:
+        out = conv3x3_dispatch(h, p["conv2_w"], p["conv2_b"], skip=x,
+                               skip2=extra_skip, relu_in=True)
+        if out is not None:
+            return out
+        out = nn.conv2d(nn.relu(h), p["conv2_w"], p["conv2_b"], padding=1)
+        out = x + out
+        return out if extra_skip is None else out + extra_skip
     out = nn.relu(x)
     out = nn.conv2d(out, p["conv1_w"], p["conv1_b"], padding=1)
     out = nn.relu(out)

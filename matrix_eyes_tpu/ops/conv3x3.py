@@ -154,7 +154,7 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         raise ValueError(
             f"conv3x3_pallas does not fit VMEM at W={W} Cin={Cin} "
             f"Cout={cout} dtype={dt}; gate with conv3x3_supported/"
-            f"use_pallas_conv3x3 (which check this) and use nn.conv2d")
+            f"conv3x3_dispatch (which check this) and use nn.conv2d")
     n_blocks = -(-H // rows)  # cdiv over output rows
     # padded rows: 1 top halo; bottom so that block i+1 exists for every i
     pad_bottom = (n_blocks + 1) * rows - H - 1
@@ -199,19 +199,66 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     return out[:, :H]
 
 
-def use_pallas_conv3x3(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-                       padding: int = 1, n_skips: int = 0) -> bool:
-    """Dispatch gate shared by nn.conv2d and the decoder's fused RCU path:
-    shape/VMEM support + single-chip TPU backend + not disabled via env.
+def conv3x3_dispatch(x: jnp.ndarray, w: jnp.ndarray, b=None, skip=None,
+                     skip2=None, relu_in: bool = False):
+    """Run the Pallas conv if the environment allows it, else return None
+    (the caller falls back to XLA's conv). Shared by nn.conv2d and the
+    decoder's fused RCU path.
 
-    Multi-device runs keep XLA's conv: a pallas_call is an opaque custom
-    call to GSPMD, so inside a sharded computation it would force the
-    activations to be replicated/gathered instead of partitioned (a
-    shard_map-wrapped formulation is the future path there)."""
+    A pallas_call is an opaque custom call to the GSPMD partitioner, so:
+
+    * outside any sharded context the kernel runs plainly, single chip
+      only (on a multi-chip runtime without a mesh context we cannot know
+      how the surrounding computation is partitioned);
+    * inside a pure data-parallel ``patch_sharded`` mesh whose axis
+      divides the batch, the kernel is shard_mapped over the batch (the
+      multi-image throughput config);
+    * anything else (tensor parallelism, non-dividing batches) -> None.
+    """
     import os
 
     if "MATRIX_EYES_NO_PALLAS_CONV" in os.environ:
-        return False
-    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
-        return False
-    return conv3x3_supported(x, w, stride, padding, n_skips)
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    n_skips = (skip is not None) + (skip2 is not None)
+    if not conv3x3_supported(x, w, 1, 1, n_skips):
+        return None
+
+    from matrix_eyes_tpu.parallel.sharding import active_data_mesh, active_patch_context
+
+    if active_patch_context() is None:
+        if len(jax.devices()) != 1:
+            return None
+        return conv3x3_pallas(x, w, b, skip=skip, skip2=skip2, relu_in=relu_in)
+
+    dm = active_data_mesh()
+    if dm is None or x.shape[0] % dm[0].shape[dm[1]] != 0:
+        return None
+    mesh, axis = dm
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = P(axis, None, None, None)
+    has_b, has_s, has_s2 = b is not None, skip is not None, skip2 is not None
+    operands = [x, w]
+    specs = [batch_spec, P()]
+    for present, val, spec in ((has_b, b, P()), (has_s, skip, batch_spec),
+                               (has_s2, skip2, batch_spec)):
+        if present:
+            operands.append(val)
+            specs.append(spec)
+
+    def fn(*ops):
+        i = 2
+        bb = ops[i] if has_b else None
+        i += has_b
+        ss = ops[i] if has_s else None
+        i += has_s
+        ss2 = ops[i] if has_s2 else None
+        return conv3x3_pallas(ops[0], ops[1], bb, skip=ss, skip2=ss2,
+                              relu_in=relu_in)
+
+    return shard_map(fn, mesh=mesh, in_specs=tuple(specs),
+                     out_specs=batch_spec, check_rep=False)(*operands)

@@ -75,10 +75,12 @@ def conv2d(
     kernel (ops/conv3x3.py), measured ~10% faster than XLA's conv lowering
     at 768^2 x 256; everything else takes XLA's lowering, which round 1
     measured as the best formulation for the general case."""
-    from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, use_pallas_conv3x3
+    if stride == 1 and padding == 1:
+        from matrix_eyes_tpu.ops.conv3x3 import conv3x3_dispatch
 
-    if use_pallas_conv3x3(x, w, stride, padding):
-        return conv3x3_pallas(x, w, b)
+        y = conv3x3_dispatch(x, w, b)
+        if y is not None:
+            return y
     y = lax.conv_general_dilated(
         x,
         w,

@@ -185,3 +185,52 @@ def test_flash_disabled_under_tensor_parallel_mesh():
         got, _ = vit.forward_features(cfg, p, x, use_flash=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv_dispatch_shard_mapped_on_data_mesh(monkeypatch):
+    # conv3x3_dispatch must shard_map the kernel over a pure data-parallel
+    # mesh when the batch divides the axis, and return None otherwise.
+    # Same stub strategy as the attention routing test (interpret-mode
+    # Pallas deadlocks inside shard_map on the virtual CPU mesh).
+    from matrix_eyes_tpu.ops import conv3x3, nn
+
+    calls = []
+
+    def reference_conv(x, w, b=None, skip=None, skip2=None, relu_in=False,
+                       **kw):
+        calls.append(x.shape[0])
+        h = nn.relu(x) if relu_in else x
+        y = nn.conv2d(h, w, b, padding=1)
+        if skip is not None:
+            y = y + skip
+        if skip2 is not None:
+            y = y + skip2
+        return y
+
+    monkeypatch.setattr(conv3x3, "conv3x3_pallas", reference_conv)
+    monkeypatch.setattr(conv3x3, "conv3x3_supported", lambda *a, **k: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 8, 16, 128)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, 128, 128)).astype(np.float32))
+    skip = jnp.asarray(rng.uniform(-1, 1, (8, 8, 16, 128)).astype(np.float32))
+    want = nn.conv2d(nn.relu(x), w, padding=1) + skip
+
+    mesh = make_mesh(8, model=1)
+    with patch_sharded(mesh):
+        got = conv3x3.conv3x3_dispatch(x, w, None, skip=skip, relu_in=True)
+        assert got is not None
+        # non-dividing batch -> None (XLA fallback)
+        assert conv3x3.conv3x3_dispatch(x[:3], w) is None
+    assert calls and all(b == 1 for b in calls), \
+        f"kernel should see per-shard batches of 1, saw {set(calls)}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # tensor-parallel mesh -> None
+    mesh_tp = make_mesh(8, model=2)
+    with patch_sharded(mesh_tp):
+        assert conv3x3.conv3x3_dispatch(x, w) is None
+    # multi-device runtime without a mesh context -> None
+    assert conv3x3.conv3x3_dispatch(x, w) is None
