@@ -77,8 +77,9 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
         # explicitly shard_mapped.
         data_mesh = _flash_sharding(B)
         if data_mesh not in (None, True):
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
+
+            from matrix_eyes_tpu.parallel.compat import shard_map
 
             mesh, axis = data_mesh
             o = shard_map(

@@ -237,8 +237,9 @@ def conv3x3_dispatch(x: jnp.ndarray, w: jnp.ndarray, b=None, skip=None,
         return None
     mesh, axis = dm
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from matrix_eyes_tpu.parallel.compat import shard_map
 
     batch_spec = P(axis, None, None, None)
     has_b, has_s, has_s2 = b is not None, skip is not None, skip2 is not None

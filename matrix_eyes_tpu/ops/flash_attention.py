@@ -219,14 +219,24 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     # measured <1% faster but sits at the VMEM cliff); 256 at f32 (a 512
     # cap was measured to OOM scoped vmem at 22.5 MB on the f32 FOV path).
     width_cap = 512 if jnp.dtype(qkv.dtype).itemsize <= 2 else 256
+    min_hpb = 1
+    while (min_hpb * D) % 128 != 0 and min_hpb < H:
+        min_hpb += 1
     if heads_per_block:
         hpb = heads_per_block
         while (hpb * D) % 128 != 0 and hpb < H:
             hpb += 1
+        # An explicit heads_per_block must obey the same VMEM budget the
+        # auto branch enforces (a 512-wide f32 block was measured to OOM
+        # scoped VMEM at 22.5 MB); the minimal lane-aligned group is always
+        # admitted since no narrower block can exist.
+        if hpb * D > width_cap and hpb > min_hpb:
+            raise ValueError(
+                f"heads_per_block={heads_per_block} gives a {hpb * D}-wide "
+                f"block, over the {width_cap}-feature VMEM cap for "
+                f"{jnp.dtype(qkv.dtype).name}")
     else:
-        hpb = 1
-        while (hpb * D) % 128 != 0 and hpb < H:
-            hpb += 1
+        hpb = min_hpb
         best = hpb
         while hpb * 2 <= H and H % (hpb * 2) == 0 and (hpb * 2 * D) <= width_cap \
                 and (hpb * 2 * D) % 128 == 0:

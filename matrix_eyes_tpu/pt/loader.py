@@ -216,8 +216,10 @@ def _caches_stale(checkpoint_path: str) -> bool:
     """True if the .pt on disk no longer matches the (size, mtime) stamp
     recorded in the config cache at convert time -- i.e. the checkpoint was
     replaced in place and every derived cache must be rebuilt.  Config
-    caches written before the stamp existed are grandfathered (no stamp ->
-    trusted), matching the reference's own .mpk staleness model."""
+    caches written before the stamp existed carry no stamp; they are
+    trusted unless the .pt is *newer* than the cache file itself (the one
+    observable sign of an in-place replacement), which closes the one-time
+    stale-weights window without invalidating untouched caches."""
     ccache = _config_cache_path(checkpoint_path)
     if not os.path.exists(ccache):
         return False
@@ -227,7 +229,12 @@ def _caches_stale(checkpoint_path: str) -> bool:
     except (OSError, ValueError):
         return True
     cur = _pt_stat(checkpoint_path)
-    return stamp is not None and cur is not None and stamp != cur
+    if stamp is None:
+        try:
+            return cur is not None and cur["mtime_ns"] > os.stat(ccache).st_mtime_ns
+        except OSError:
+            return True
+    return cur is not None and stamp != cur
 
 
 def load_checkpoint(

@@ -9,6 +9,14 @@ from matrix_eyes_tpu.ops import nn
 from matrix_eyes_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
 
 
+@pytest.fixture(autouse=True)
+def _reference_takes_xla_path(monkeypatch):
+    # On a real TPU backend nn.conv2d would dispatch back into the Pallas
+    # kernel, making the kernel-vs-XLA comparison self-referential; pin the
+    # reference to the XLA path.
+    monkeypatch.setenv("MATRIX_EYES_NO_PALLAS_CONV", "1")
+
+
 @pytest.mark.parametrize("shape", [
     (1, 16, 16, 128, 128),   # minimal lanes
     (1, 12, 16, 128, 256),   # H not a multiple of the row block

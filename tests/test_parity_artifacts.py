@@ -1,0 +1,63 @@
+"""Always-run gate over the committed parity artifacts (docs/parity/).
+
+tests/test_parity_real.py validates freshly regenerated artifacts in /tmp
+and therefore skips on any checkout without a full-size checkpoint; these
+tests assert the same contract over the *committed* copies so a fresh
+checkout (and CI) fails if an artifact regresses or is replaced with one
+outside the BASELINE.md accuracy contract (<1% relative depth error vs the
+PyTorch mirror; mod.rs:251-363 is the function being mirrored).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+ART_DIR = os.path.join(os.path.dirname(__file__), "..", "docs", "parity")
+
+STAGES_F32 = sorted(glob.glob(os.path.join(ART_DIR, "*-stages-f32.json")))
+TPU_E2E = sorted(glob.glob(os.path.join(ART_DIR, "*-tpu-e2e-*.json")))
+HF_THREE_WAY = os.path.join(ART_DIR, "hf-three-way.json")
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_artifacts_present():
+    # the evidence set itself is part of the contract: losing an artifact
+    # silently would un-assert the claim it carried
+    assert len(STAGES_F32) >= 3, STAGES_F32
+    assert len(TPU_E2E) >= 2, TPU_E2E
+    assert os.path.exists(HF_THREE_WAY)
+
+
+@pytest.mark.parametrize("art", STAGES_F32, ids=os.path.basename)
+def test_f32_stage_parity_under_one_percent(art):
+    r = _load(art)
+    assert r["stage_max_rel"]["canonical_inverse_depth"] < 0.01
+    for k, v in r["stage_max_rel"].items():
+        assert v < 0.01, (k, v)
+    assert r["e2e_inverse_depth"]["mean_rel"] < 0.01
+    assert abs(r["fov_deg"]["jax"] - r["fov_deg"]["torch"]) <= max(
+        1e-4 * abs(r["fov_deg"]["torch"]), 1e-5)
+
+
+@pytest.mark.parametrize("art", TPU_E2E, ids=os.path.basename)
+def test_half_precision_canonical_contract(art):
+    r = _load(art)
+    assert r["canonical"]["mean_rel"] < 0.01, r["mode"]
+
+
+def test_hf_three_way_cross_check():
+    """The torch mirror used as parity ground truth bit-agrees with an
+    independent third-party implementation (HuggingFace transformers
+    DepthPro) -- the shared-misunderstanding killer from round 2."""
+    r = _load(HF_THREE_WAY)
+    assert r["mirror_vs_hf_canonical_max_abs"] < 1e-5
+    assert r["mirror_vs_hf_fov_abs"] < 1e-3
+    # the JAX path agrees with HF within f32 accumulation noise at scale
+    assert r["jax_vs_hf_canonical_max_abs"] < 0.05
+    assert r["jax_vs_hf_fov_abs"] < 0.01
