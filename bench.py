@@ -94,42 +94,90 @@ def main() -> None:
 
     # User-visible end-to-end: same device pipeline, but returning the
     # full stereogram, reading it back to host (~36 MB over the link) and
-    # encoding the PNG a user would actually open (output.rs:141-193 ends
-    # at out_image.save). File *decode* is still excluded (input lives in
-    # HBM), matching the headline metric's starting point.
-    import io as _io
+    # encoding the PNG file a user would actually open (output.rs:141-193
+    # ends at out_image.save). File *decode* is still excluded (input lives
+    # in HBM), matching the headline metric's starting point.
+    #
+    # This is the CLI's own save path: the stereogram leaves the device as
+    # row bands whose transfers are started asynchronously, and the native
+    # striped encoder (one deflate stream per band, worker pool) compresses
+    # band k while band k+1 is still in flight -- encode cost hides behind
+    # the transfer. The file lands on tmpfs: this sandbox's disk writes at
+    # ~6 MB/s (an infra artifact -- a production host's page cache absorbs
+    # the ~7 MB file instantly), and tmpfs is the closest model of that.
+    import tempfile
 
-    from PIL import Image
+    from matrix_eyes_tpu.native import pngwriter
+    from matrix_eyes_tpu.ops.stereogram import _norm_depth, band_bounds
+    from matrix_eyes_tpu.output import png as me_png
 
+    out_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    out_path = os.path.join(out_dir, "me_bench_stereo.png")
+    bounds = band_bounds(src_h, 256)
+    assert me_png.split_supported(), "native PNG encoder must build for the bench"
+
+    # The CLI's stereogram .png path: the image leaves the device in its
+    # compact generative form -- per-pixel u8 link shifts + per-row noise
+    # seeds, ~16.6 MB instead of the 36 MB resolved RGB -- and the native
+    # encoder's worker pool replays the reference's linker scan
+    # (output.rs:173-185) per row band and deflates it while later bands
+    # are still in flight. Output file is byte-identical to encoding the
+    # device-resolved stereogram (tests/test_pngwriter.py proves it).
     @jax.jit
-    def device_pipeline_img(photo_u8, perturb, key):
+    def device_pipeline_split(photo_u8, perturb, key):
         p = (photo_u8.astype(jnp.int32) + perturb) % 256
         img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
         inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
         data = _clamp_inverse_depth.__wrapped__(inv[0])
-        return _synthesize.__wrapped__(data, key, src_h, src_w, pw, dm)
+        dnorm = _norm_depth(data, src_h, src_w)
+        shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.uint8)
+        noise = jax.random.randint(key, (src_h, pw, 3), 0, 256, dtype=jnp.uint8)
+        return tuple((shift[lo:hi], noise[lo:hi]) for lo, hi in bounds)
 
-    _ = np.asarray(device_pipeline_img(photo, jnp.int32(0), jax.random.PRNGKey(1)))
+    pairs = device_pipeline_split(photo, jnp.int32(0), jax.random.PRNGKey(1))
+    me_png.save_stereogram_split(pairs, out_path, pw)  # warmup
     e2e_iters = max(2, iters // 2)
     t0 = time.perf_counter()
     for p, k in zip(perturbs[:e2e_iters], keys[:e2e_iters]):
-        stereo_host = np.asarray(device_pipeline_img(photo, p, k))
-        buf = _io.BytesIO()
-        # compress_level=1 matches the CLI's stereogram save path: noise
-        # chains are incompressible, so higher zlib levels only burn CPU
-        Image.fromarray(stereo_host).save(buf, format="PNG", compress_level=1)
+        pairs = device_pipeline_split(photo, p, k)
+        me_png.save_stereogram_split(pairs, out_path, pw)
     e2e_elapsed = (time.perf_counter() - t0) / e2e_iters
+
+    # Attribution: (a) the raw readback floor -- same arrays, no encode --
+    # is the dev tunnel's bandwidth cost (infra; ~GB/s PCIe on a production
+    # host); (b) the pure software cost -- linker-scan replay + striped
+    # encode from host-resident arrays to the same file. e2e ~= max(floor,
+    # software) when the overlap works; on production hosts only (b)
+    # remains.
+    t0 = time.perf_counter()
+    for p, k in zip(perturbs[:2], keys[:2]):
+        ps = device_pipeline_split(photo, p, k)
+        for s, n in ps:
+            s.copy_to_host_async(), n.copy_to_host_async()
+        host = [(np.asarray(s), np.asarray(n)) for s, n in ps]
+    readback_floor = (time.perf_counter() - t0) / 2
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        with pngwriter.PngEncoder(out_path, src_w, src_h, level=1,
+                                  filter=pngwriter.FILTER_NONE) as enc:
+            for s, n in host:
+                enc.write_stereo_rows(s, n, pw)
+    png_software = (time.perf_counter() - t0) / reps
 
     print(json.dumps({
         "metric": "photo1536_to_depth_stereogram_wall_clock",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(1.0 / elapsed, 2),
-        # user-visible end-to-end: + ~36 MB host readback + PNG encode
-        # (single host core here; encode dominates). Same relay-safe
-        # methodology (unique inputs, real readbacks).
+        # user-visible end-to-end (device pipeline + banded readback +
+        # striped PNG encode to a real file), same relay-safe methodology
         "e2e_png_s": round(e2e_elapsed, 4),
         "e2e_png_vs_baseline": round(1.0 / e2e_elapsed, 2),
+        # attribution: infra floor vs software cost (see comments above)
+        "readback_floor_s": round(readback_floor, 4),
+        "png_software_s": round(png_software, 4),
     }))
 
 

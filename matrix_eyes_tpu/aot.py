@@ -27,12 +27,51 @@ import hashlib
 import os
 import pickle
 import tempfile
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax
 
 _live: Dict[str, Any] = {}
 _fingerprint_memo: str | None = None
+_prefetched: Dict[str, Future] = {}
+
+
+def prefetch_async(name_prefixes: Sequence[str], per_prefix: int = 2) -> None:
+    """Start deserializing cached executables on a background thread.
+
+    The warm CLI's two big serial costs are independent: the ~GBs weight
+    upload (network/PCIe-bound) and the executable payload read +
+    deserialize (CPU/disk-bound). Calling this before the checkpoint load
+    overlaps them: by the time the first ``call_cached`` runs, its
+    executable is (being) loaded already.
+
+    Only files whose name starts with one of ``name_prefixes`` are touched,
+    newest ``per_prefix`` per prefix (older same-name entries are likely
+    stale fingerprints). Unknown/mismatched entries cost a wasted read, not
+    correctness: ``call_cached`` still keys on the exact signature.
+    """
+    if not enabled():
+        return
+    d = cache_dir()
+    try:
+        files = [f for f in os.listdir(d) if f.endswith(".jaxexec")]
+    except OSError:
+        return
+    by_prefix: Dict[str, list] = {p: [] for p in name_prefixes}
+    for f in files:
+        for p in name_prefixes:
+            if f.startswith(p + "-"):
+                by_prefix[p].append(f)
+    ex = ThreadPoolExecutor(max_workers=1)
+    for p, fs in by_prefix.items():
+        fs.sort(key=lambda f: os.path.getmtime(os.path.join(d, f)),
+                reverse=True)
+        for f in fs[:per_prefix]:
+            key = f[: -len(".jaxexec")]
+            if key not in _prefetched:
+                _prefetched[key] = ex.submit(_load, key)
+    ex.shutdown(wait=False)
 
 
 def enabled() -> bool:
@@ -153,7 +192,14 @@ def call_cached(name: str, fn: Callable, args: Tuple, salt: str = ""):
     key = _key(name, args, salt)
     comp = _live.get(key)
     if comp is None:
-        comp = _load(key)
+        fut = _prefetched.pop(key, None)
+        if fut is not None:
+            try:
+                comp = fut.result()
+            except Exception:
+                comp = None
+        if comp is None:
+            comp = _load(key)
         if comp is None:
             comp = jax.jit(fn).lower(*args).compile()
             _store(key, comp)

@@ -211,6 +211,16 @@ def run(args: Args, progress=None) -> None:
         need_fov = jobs[0][2].f_norm() is None
     if need_fov:
         parts = parts + ("fov",)
+    # Overlap the two big independent warm-start costs: deserialize cached
+    # AOT executables (CPU/disk) on a background thread while the weights
+    # upload (network/PCIe). See aot.prefetch_async.
+    from matrix_eyes_tpu import aot
+
+    aot.prefetch_async((
+        "preprocess", "fwd_fov" if need_fov else "fwd_fnorm",
+        "stereogram_split", "stereogram_bands", "stereogram",
+        "render_depthmap_bands", "render_depthmap",
+    ))
     cfg, params = load_checkpoint(
         args.checkpoint_path,
         dtype=runtime.resolved_dtype(),

@@ -41,9 +41,12 @@ def _flash_sharding(batch: int):
     * ``True`` -- plain single-computation kernel (no sharded context);
     * ``(mesh, axis)`` -- run per-shard under shard_map (pure data-parallel
       mesh whose axis divides the batch, e.g. the padded 40-patch pyramid);
-    * ``None`` -- flash not usable here (tensor parallelism splits the qkv
-      features mid-section; a non-dividing batch like the B=1 image/FOV
-      encoders would replicate the opaque kernel) -- use XLA attention.
+    * ``None`` -- flash not usable through THIS routing (a non-dividing
+      batch like the B=1 image/FOV encoders would replicate the opaque
+      kernel; an unregistered tensor-parallel layout splits qkv features
+      mid-section) -- use XLA attention. Tensor parallelism with the
+      registered head-group layout takes the separate _attention_tp path
+      (see parallel.sharding._tp_permute_qkv), not this one.
     """
     from matrix_eyes_tpu.parallel.sharding import active_data_mesh, active_patch_context
 
@@ -55,6 +58,43 @@ def _flash_sharding(batch: int):
     return None
 
 
+def _attention_tp(qkv: jnp.ndarray, tp_ctx, k_tp: int, H: int, D: int,
+                  scale: float, use_flash: bool, n_valid: int | None):
+    """Attention on the head-group-major TP qkv layout (see
+    parallel.sharding._tp_permute_qkv): each model-axis shard holds the full
+    [q|k|v] of its own H/k heads, so the fused Pallas kernel runs per shard
+    under shard_map with a per-shard head count -- no extra collectives, and
+    the (B, N, C) output's model-sharded feature axis is already in
+    standard head order for the row-sharded proj."""
+    from matrix_eyes_tpu.ops.attention import attention
+    from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H_loc = H // k_tp
+    mesh, data_axis, model_axis, _ = tp_ctx
+
+    if use_flash and N % 128 == 0 and qkv_fusable(H_loc, D):
+        from jax.sharding import PartitionSpec as P
+
+        from matrix_eyes_tpu.parallel.compat import shard_map
+
+        bspec = data_axis if B % mesh.shape[data_axis] == 0 else None
+        spec = P(bspec, None, model_axis)
+        return shard_map(
+            lambda q: attention_flash_qkv(q, H_loc, scale, n_valid=n_valid),
+            mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False)(qkv)
+
+    # XLA attention on the permuted layout. The leading reshape axis k_tp
+    # aligns with the GSPMD shard boundary of the qkv feature axis, so the
+    # sharding propagates (head axis sharded) instead of resharding;
+    # group-major head concatenation equals standard head order.
+    q5 = (qkv.reshape(B, N, k_tp, 3, H_loc, D)
+          .transpose(3, 0, 2, 4, 1, 5).reshape(3, B, H, N, D))
+    o = attention(q5[0], q5[1], q5[2], scale, use_flash=False, n_valid=n_valid)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
 def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
                   n_valid: int | None = None) -> jnp.ndarray:
     """One pre-norm transformer block (vit.rs:163-170)."""
@@ -64,35 +104,50 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     scale = 1.0 / (D ** 0.5)
 
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
-    qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
     from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
 
-    if use_flash and N % 128 == 0 and qkv_fusable(H, D):
-        # fused kernel reads heads straight out of the qkv layout -- no
-        # (3, B, H, N, D) transpose and no head-merge afterwards.
-        # _flash_sharding (checked by forward_features before enabling
-        # flash at all) decides whether to map the kernel over a
-        # data-parallel mesh: a pallas_call is opaque to the GSPMD
-        # partitioner, so inside a sharded computation it must be
-        # explicitly shard_mapped.
-        data_mesh = _flash_sharding(B)
-        if data_mesh not in (None, True):
-            from jax.sharding import PartitionSpec as P
+    if "qkv_gw" in p:
+        # head-group-major TP layout (parallel.sharding._tp_permute_qkv):
+        # the layout is self-describing via the key, and only valid inside
+        # the patch_sharded context of the mesh it was sharded for
+        from matrix_eyes_tpu.parallel.sharding import active_model_parallel
 
-            from matrix_eyes_tpu.parallel.compat import shard_map
-
-            mesh, axis = data_mesh
-            o = shard_map(
-                lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
-                mesh=mesh, in_specs=(P(axis, None, None),),
-                out_specs=P(axis, None, None), check_rep=False)(qkv)
-        else:
-            o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+        tp_ctx = active_model_parallel()
+        if tp_ctx is None or H % tp_ctx[3] != 0:
+            raise ValueError(
+                "TP-grouped qkv parameters (qkv_gw) require the matching "
+                "model-parallel patch_sharded mesh context")
+        qkv = nn.linear(h, p["qkv_gw"], p["qkv_gb"])  # (B, N, 3C) grouped
+        o = _attention_tp(qkv, tp_ctx, tp_ctx[3], H, D, scale, use_flash,
+                          n_valid)
     else:
-        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
-        o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+        qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
+        if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+            # fused kernel reads heads straight out of the qkv layout -- no
+            # (3, B, H, N, D) transpose and no head-merge afterwards.
+            # _flash_sharding (checked by forward_features before enabling
+            # flash at all) decides whether to map the kernel over a
+            # data-parallel mesh: a pallas_call is opaque to the GSPMD
+            # partitioner, so inside a sharded computation it must be
+            # explicitly shard_mapped.
+            data_mesh = _flash_sharding(B)
+            if data_mesh not in (None, True):
+                from jax.sharding import PartitionSpec as P
+
+                from matrix_eyes_tpu.parallel.compat import shard_map
+
+                mesh, axis = data_mesh
+                o = shard_map(
+                    lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
+                    mesh=mesh, in_specs=(P(axis, None, None),),
+                    out_specs=P(axis, None, None), check_rep=False)(qkv)
+            else:
+                o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+        else:
+            qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (3, B, H, N, D)
+            o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
+            o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
     o = nn.linear(o, p["proj_w"], p["proj_b"])
     x = x + o * p["ls1"]
 
@@ -156,13 +211,25 @@ def forward_features(
         from matrix_eyes_tpu.ops.flash_attention import flash_supported_dtype, qkv_fusable
 
         use_flash = flash_supported_dtype(tokens.dtype)
-        fs = _flash_sharding(tokens.shape[0])
-        if fs is None:
-            use_flash = False  # sharded context the kernels cannot map over
-        elif fs is not True:
-            # data-parallel shard_map path: only the fused qkv kernel is
-            # wrapped, so flash requires fusable head geometry here
-            use_flash = use_flash and qkv_fusable(cfg.num_heads, cfg.head_dim)
+        if "qkv_gw" in params["blocks"]:
+            # tensor-parallel head-group layout (self-describing via the
+            # key): the fused kernel runs per shard with H/k heads (see
+            # _attention_tp); requires the per-shard geometry to be
+            # lane-alignable
+            from matrix_eyes_tpu.parallel.sharding import active_model_parallel
+
+            mp = active_model_parallel()
+            if mp is not None and cfg.num_heads % mp[3] == 0:
+                use_flash = use_flash and qkv_fusable(
+                    cfg.num_heads // mp[3], cfg.head_dim)
+        else:
+            fs = _flash_sharding(tokens.shape[0])
+            if fs is None:
+                use_flash = False  # sharded context the kernels cannot map over
+            elif fs is not True:
+                # data-parallel shard_map path: only the fused qkv kernel is
+                # wrapped, so flash requires fusable head geometry here
+                use_flash = use_flash and qkv_fusable(cfg.num_heads, cfg.head_dim)
 
     # With the flash kernel, pad the token axis to a lane multiple ONCE for
     # all blocks (instead of per-attention pad/slice -- that would move the

@@ -79,6 +79,10 @@ struct Stripe {
   std::vector<uint8_t> rows;    // raw pixels, nrows * rowbytes
   std::vector<uint8_t> prior;   // row preceding this stripe (zeros for first)
   int64_t nrows = 0;
+  // stereogram-reconstruction jobs carry (shift, noise) instead of pixels
+  std::vector<uint8_t> shift;   // nrows * w, link shifts
+  std::vector<uint8_t> noise;   // nrows * pw * 3, per-row seed pixels
+  int64_t pattern_width = 0;    // 0 = plain pixel stripe
   // results
   std::vector<uint8_t> compressed;
   uLong adler = 0;
@@ -86,6 +90,27 @@ struct Stripe {
   uint32_t crc = 0;             // crc32 of "IDAT" + compressed
   bool failed = false;
 };
+
+// The reference's per-row linker scan (output.rs:173-185): out[x] is the
+// noise seed pixel reached by following parent links x + shift[x] - pw.
+// Row-independent, so it parallelises over the stripe worker pool; shifts
+// obey shift <= dm < pw, so every parent lies strictly left of x and a
+// single left-to-right pass resolves all chains.
+void reconstruct_stereo_rows(const uint8_t* shift, const uint8_t* noise,
+                             uint8_t* out, int64_t nrows, int64_t w,
+                             int64_t pw) {
+  for (int64_t r = 0; r < nrows; ++r) {
+    const uint8_t* srow = shift + r * w;
+    const uint8_t* nrow = noise + r * pw * 3;
+    uint8_t* orow = out + r * w * 3;
+    int64_t head = std::min<int64_t>(pw, w);
+    std::memcpy(orow, nrow, (size_t)head * 3);
+    for (int64_t x = pw; x < w; ++x) {
+      int64_t p = x + (int64_t)srow[x] - pw;  // in [x - pw, x)
+      std::memcpy(orow + x * 3, orow + p * 3, 3);
+    }
+  }
+}
 
 struct Encoder {
   FILE* f = nullptr;
@@ -133,6 +158,15 @@ struct Encoder {
 
   void compress_stripe(Stripe& s) {
     const int64_t rb = rowbytes();
+    if (s.pattern_width > 0) {  // reconstruct pixels from (shift, noise)
+      s.rows.resize((size_t)(s.nrows * rb));
+      reconstruct_stereo_rows(s.shift.data(), s.noise.data(), s.rows.data(),
+                              s.nrows, w, s.pattern_width);
+      s.shift.clear();
+      s.shift.shrink_to_fit();
+      s.noise.clear();
+      s.noise.shrink_to_fit();
+    }
     const int64_t flen = s.nrows * (rb + 1);
     std::vector<uint8_t> filtered((size_t)flen);
     const uint8_t* prior = s.prior.data();
@@ -278,6 +312,31 @@ int mepng_write_rows(void* handle, const uint8_t* rows, int64_t nrows) {
   s->rows.assign(rows, rows + nrows * rb);
   s->prior = e->last_row;
   e->last_row.assign(rows + (nrows - 1) * rb, rows + nrows * rb);
+  e->rows_in += nrows;
+  {
+    std::lock_guard<std::mutex> lk(e->mu);
+    e->queue.push_back(std::move(s));
+  }
+  e->cv_job.notify_one();
+  return 0;
+}
+
+// Enqueue nrows stereogram rows given per-pixel link shifts (nrows * w u8)
+// and per-row noise seeds (nrows * pw * 3 u8); the worker pool reconstructs
+// the pixels with the reference's linker scan, then compresses. Only valid
+// with filter None (row filters would need the previous stripe's pixels,
+// which are not reconstructed yet at enqueue time). Returns 0 on success.
+int mepng_write_stereo_rows(void* handle, const uint8_t* shift,
+                            const uint8_t* noise, int64_t nrows, int64_t pw) {
+  auto* e = (Encoder*)handle;
+  if (!e || nrows <= 0 || e->rows_in + nrows > e->h) return 1;
+  if (e->filter != kFilterNone || pw <= 0 || pw > e->w) return 1;
+  auto s = std::make_unique<Stripe>();
+  s->index = e->next_index++;
+  s->nrows = nrows;
+  s->pattern_width = pw;
+  s->shift.assign(shift, shift + nrows * e->w);
+  s->noise.assign(noise, noise + nrows * pw * 3);
   e->rows_in += nrows;
   {
     std::lock_guard<std::mutex> lk(e->mu);

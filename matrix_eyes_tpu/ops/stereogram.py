@@ -56,14 +56,18 @@ def _doubling_iterations(out_w: int, pw: int, dm: float) -> int:
     return max(1, math.ceil(math.log2(max_chain)))
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "pw", "dm"))
-def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
-    # normalised depth at every output pixel (output.rs:174-178)
+def _norm_depth(depth, out_h: int, out_w: int):
+    """Normalised depth at every output pixel (output.rs:174-178)."""
     dmin = jnp.min(depth)
     dmax = jnp.max(depth)
     sampled = depthmap_bilinear_resample(depth, out_h, out_w)
     denom = dmax - dmin
-    dnorm = jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
+    return jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "pw", "dm"))
+def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
+    dnorm = _norm_depth(depth, out_h, out_w)
 
     if pw == 0:
         # degenerate amplitude: every pixel keeps its own noise value
@@ -123,6 +127,85 @@ def synthesize_stereogram(
     # noticeable slice of warm CLI latency; seed stays dynamic via `key`.
     return aot.call_cached("stereogram", synth, (depth, key),
                            salt=f"{out_h}x{out_w}|pw={pw}|dm={dm}")
+
+
+def band_bounds(h: int, band_rows: int):
+    """Row-band boundaries [(lo, hi), ...] covering [0, h)."""
+    return [(lo, min(lo + band_rows, h)) for lo in range(0, h, band_rows)]
+
+
+def synthesize_stereogram_split(
+    depth: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    amplitude: float,
+    seed: int = 0,
+    band_rows: int = 256,
+):
+    """The stereogram in its compact generative form: per-pixel link shifts
+    (u8) and per-row noise seed pixels, as row-band device arrays.
+
+    A stereogram is fully determined by ``noise (H, pw, 3)`` and
+    ``shift (H, W)`` -- every other pixel is a copy along the link chain
+    (output.rs:173-185). Shipping (shift, noise) to the host instead of the
+    resolved RGB image cuts the device->host transfer from 3 to
+    ~(1 + 3*pw/W) bytes/pixel (~16.6 MB vs 36 MB at 12 MP), and the native
+    PNG encoder's worker pool replays the reference's linker scan per row
+    band while later bands are still in flight. The resulting file is
+    byte-identical to encoding the device-resolved image.
+
+    Returns (pattern_width, [(shift_band (n, W) u8, noise_band (n, pw, 3)
+    u8), ...]) or None when the compact form doesn't apply (degenerate
+    pw == 0, the self-link ``wide`` case, or shifts over 255 -- callers
+    fall back to the banded RGB path).
+    """
+    from matrix_eyes_tpu import aot
+
+    dm, pw = stereogram_geometry(out_w, amplitude)
+    if pw == 0 or _max_shift(dm) > 255:
+        return None
+    if _max_shift(dm) + 1 > pw:  # wide: self-linking pixels keep own noise
+        return None
+    key = jax.random.PRNGKey(seed)
+    bounds = band_bounds(out_h, band_rows)
+
+    def synth(depth, key):
+        dnorm = _norm_depth(depth, out_h, out_w)
+        shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.uint8)
+        noise = jax.random.randint(key, (out_h, pw, 3), 0, 256, dtype=jnp.uint8)
+        return tuple((shift[lo:hi], noise[lo:hi]) for lo, hi in bounds)
+
+    pairs = aot.call_cached(
+        "stereogram_split", synth, (depth, key),
+        salt=f"{out_h}x{out_w}|pw={pw}|dm={dm}|br={band_rows}")
+    return pw, pairs
+
+
+def synthesize_stereogram_bands(
+    depth: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    amplitude: float,
+    seed: int = 0,
+    band_rows: int = 256,
+):
+    """Like synthesize_stereogram but returns the image as a tuple of
+    row-band device arrays ((n_i, out_w, 3) u8, top to bottom) from a
+    single dispatch, so the host can overlap readback with PNG encoding
+    (output/png.save_device_bands)."""
+    from matrix_eyes_tpu import aot
+
+    dm, pw = stereogram_geometry(out_w, amplitude)
+    key = jax.random.PRNGKey(seed)
+    bounds = band_bounds(out_h, band_rows)
+
+    def synth(depth, key):
+        img = _synthesize.__wrapped__(depth, key, out_h, out_w, pw, dm)
+        return tuple(img[lo:hi] for lo, hi in bounds)
+
+    return aot.call_cached(
+        "stereogram_bands", synth, (depth, key),
+        salt=f"{out_h}x{out_w}|pw={pw}|dm={dm}|br={band_rows}")
 
 
 def reference_rows(depth_norm, noise, pw: int, dm: float):

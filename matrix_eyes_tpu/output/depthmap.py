@@ -28,6 +28,11 @@ from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram
 CLIP_DEPTH_MIN = 0.1
 CLIP_DEPTH_MAX = 250.0
 
+# Row-band height for banded (transfer/encode-overlapped) PNG output:
+# ~3 MB per band at 12 MP -- big enough to amortise per-transfer overhead,
+# small enough that the encoder starts while most bands are still in flight.
+BAND_ROWS = 256
+
 
 class ImageOutputFormat(enum.Enum):
     DEPTH_MAP = "depthmap"
@@ -87,14 +92,51 @@ class DepthMap:
         return np.asarray(aot.call_cached(
             "render_depthmap", render, (self.data,), salt=f"{oh}x{ow}"))
 
-    def render_stereogram(self, resize_scale: Optional[float], amplitude: float,
-                          seed: int = 0) -> np.ndarray:
+    def render_depth_map_bands(self):
+        """Depth-map render as a tuple of device row bands (one dispatch)
+        for transfer/encode overlap (output/png.save_device_bands)."""
+        from matrix_eyes_tpu import aot
+        from matrix_eyes_tpu.ops.stereogram import band_bounds
+
+        ow, oh = self.original_size
+        bounds = band_bounds(oh, BAND_ROWS)
+
+        def render(data):
+            img = _render_depth_map.__wrapped__(data, oh, ow)
+            return tuple(img[lo:hi] for lo, hi in bounds)
+
+        return aot.call_cached(
+            "render_depthmap_bands", render, (self.data,),
+            salt=f"{oh}x{ow}|br={BAND_ROWS}")
+
+    def _stereogram_size(self, resize_scale: Optional[float]) -> Tuple[int, int]:
         ow, oh = self.original_size
         if resize_scale is not None:
             # Rust f32::round (half away from zero) on the scaled size
             ow = int(np.floor(np.float32(ow) * np.float32(resize_scale) + 0.5))
             oh = int(np.floor(np.float32(oh) * np.float32(resize_scale) + 0.5))
+        return ow, oh
+
+    def render_stereogram(self, resize_scale: Optional[float], amplitude: float,
+                          seed: int = 0) -> np.ndarray:
+        ow, oh = self._stereogram_size(resize_scale)
         return np.asarray(synthesize_stereogram(self.data, oh, ow, amplitude, seed))
+
+    def render_stereogram_bands(self, resize_scale: Optional[float],
+                                amplitude: float, seed: int = 0):
+        from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_bands
+
+        ow, oh = self._stereogram_size(resize_scale)
+        return synthesize_stereogram_bands(self.data, oh, ow, amplitude, seed,
+                                           band_rows=BAND_ROWS)
+
+    def render_stereogram_split(self, resize_scale: Optional[float],
+                                amplitude: float, seed: int = 0):
+        from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_split
+
+        ow, oh = self._stereogram_size(resize_scale)
+        return synthesize_stereogram_split(self.data, oh, ow, amplitude, seed,
+                                           band_rows=BAND_ROWS)
 
     # -- dispatch (output.rs:100-121) --------------------------------------
 
@@ -108,19 +150,41 @@ class DepthMap:
         amplitude: float = 1.0 / 16.0,
         seed: int = 0,
     ) -> None:
+        from matrix_eyes_tpu.output import png
+
         dest = destination_path.lower()
         if dest.endswith(".ply") or dest.endswith(".obj"):
             self._output_mesh(destination_path, source_path, vertex_mode)
         elif image_format == ImageOutputFormat.DEPTH_MAP:
-            self._save_image(self.render_depth_map(), destination_path)
+            if dest.endswith(".png"):
+                # banded render: host transfer overlaps the striped encode
+                png.save_device_bands(self.render_depth_map_bands(),
+                                      destination_path, **png.DEPTH_MAP)
+            else:
+                self._save_image(self.render_depth_map(), destination_path)
         else:
-            # Stereogram pixels are random-noise chains -- essentially
-            # incompressible -- so zlib level 6 burns seconds of single-core
-            # CPU on a 12 MP image for ~no size gain; level 1 encodes ~3x
-            # faster. Depth maps are smooth and keep the default level.
-            self._save_image(
-                self.render_stereogram(resize_scale, amplitude, seed),
-                destination_path, fast_png=True)
+            # Stereogram pixel chains are long exact LZ matches, so zlib
+            # level 1 already compresses them ~5x while encoding ~2x faster
+            # than level 6 (see output/png.py); PNG row filters would only
+            # obscure the matches, so the stereogram profile is filter=None.
+            split = None
+            if dest.endswith(".png") and png.split_supported():
+                # compact (shift, noise) form: ~2.2x less device->host
+                # traffic; the native encoder replays the linker scan
+                split = self.render_stereogram_split(resize_scale, amplitude,
+                                                     seed)
+            if split is not None:
+                pw, pairs = split
+                png.save_stereogram_split(pairs, destination_path, pw,
+                                          level=png.STEREOGRAM["level"])
+            elif dest.endswith(".png"):
+                png.save_device_bands(
+                    self.render_stereogram_bands(resize_scale, amplitude, seed),
+                    destination_path, **png.STEREOGRAM)
+            else:
+                self._save_image(
+                    self.render_stereogram(resize_scale, amplitude, seed),
+                    destination_path, fast_png=True)
 
     @staticmethod
     def _save_image(rgb: np.ndarray, path: str, fast_png: bool = False) -> None:

@@ -1,0 +1,113 @@
+"""PNG serialisation: striped native encoder with readback overlap.
+
+The reference's metric ends at ``out_image.save`` (output.rs:141-193), so
+PNG encoding is part of the user-visible cost. Two levers beat the
+single-threaded reference encoder:
+
+* the native striped encoder (native/pngwriter.cpp) compresses independent
+  row bands on a worker pool -- multi-core scaling on production hosts;
+* ``save_device_bands``: the device array arrives as row bands whose
+  host transfer (``copy_to_host_async``) overlaps the compression of the
+  previous band, so encode time hides behind the transfer.
+
+Level/filter policy: stereograms use filter None + zlib level 1 -- their
+pixel chains are long exact LZ matches (measured ratio 0.18 at level 1,
+0.16 at level 6; level 1 is ~2x faster), and PNG row filters would only
+obscure those matches. Depth maps are smooth gradients: fixed Paeth +
+level 6.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from matrix_eyes_tpu.errors import OutputError
+from matrix_eyes_tpu.native import pngwriter
+
+STEREOGRAM = {"level": 1, "filter": pngwriter.FILTER_NONE}
+DEPTH_MAP = {"level": 6, "filter": pngwriter.FILTER_PAETH}
+
+
+def save_png(rgb: np.ndarray, path: str, *, level: int = 6,
+             filter: int = pngwriter.FILTER_PAETH) -> None:
+    """Encode one host-resident RGB8 array. Native when available, PIL
+    fallback with the nearest settings."""
+    try:
+        if pngwriter.encode(np.asarray(rgb), path, level=level, filter=filter):
+            return
+    except OSError as e:
+        raise OutputError(f"Image error: {e}") from e
+    _pil_save(np.asarray(rgb), path, level)
+
+
+def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
+                      filter: int = pngwriter.FILTER_NONE) -> None:
+    """Encode an image that lives on device as a sequence of row bands
+    ((n_i, W, 3) u8 arrays, top to bottom).
+
+    All transfers are started asynchronously up front; each band is then
+    encoded (enqueued to the native worker pool, which returns immediately)
+    while later bands are still in flight -- on a remote-device link the
+    encode cost disappears into the transfer time.
+    """
+    h = sum(int(b.shape[0]) for b in bands)
+    w = int(bands[0].shape[1])
+
+    for b in bands:
+        cth = getattr(b, "copy_to_host_async", None)
+        if cth is not None:
+            cth()
+
+    if not pngwriter.available():
+        _pil_save(np.concatenate([np.asarray(b) for b in bands], axis=0),
+                  path, level)
+        return
+    try:
+        with pngwriter.PngEncoder(path, w, h, level=level, filter=filter) as enc:
+            for b in bands:
+                enc.write_rows(np.asarray(b))
+    except OSError as e:
+        raise OutputError(f"Image error: {e}") from e
+
+
+def split_supported() -> bool:
+    """Whether the compact (shift, noise) stereogram save path can run --
+    it needs the native encoder (the linker-scan replay lives there)."""
+    return pngwriter.available()
+
+
+def save_stereogram_split(pairs, path: str, pattern_width: int, *,
+                          level: int = 1) -> None:
+    """Encode a stereogram from its compact device representation (see
+    ops.stereogram.synthesize_stereogram_split): per band, shift (n, W) u8
+    and noise (n, pw, 3) u8. Transfers are started asynchronously up
+    front; the native worker pool replays the reference linker scan and
+    compresses each band while later bands are still in flight."""
+    h = sum(int(s.shape[0]) for s, _ in pairs)
+    w = int(pairs[0][0].shape[1])
+
+    for s, n in pairs:
+        for b in (s, n):
+            cth = getattr(b, "copy_to_host_async", None)
+            if cth is not None:
+                cth()
+
+    try:
+        with pngwriter.PngEncoder(path, w, h, level=level,
+                                  filter=pngwriter.FILTER_NONE) as enc:
+            for s, n in pairs:
+                enc.write_stereo_rows(np.asarray(s), np.asarray(n),
+                                      pattern_width)
+    except OSError as e:
+        raise OutputError(f"Image error: {e}") from e
+
+
+def _pil_save(rgb: np.ndarray, path: str, level: int) -> None:
+    from PIL import Image
+
+    try:
+        Image.fromarray(rgb, mode="RGB").save(path, compress_level=level)
+    except (OSError, ValueError) as e:
+        raise OutputError(f"Image error: {e}") from e

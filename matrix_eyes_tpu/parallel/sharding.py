@@ -84,6 +84,49 @@ def active_patch_context():
     return _patch_ctx.get()
 
 
+def active_model_parallel():
+    """(mesh, data_axis, model_axis, k) when the enclosing ``patch_sharded``
+    mesh carries exactly one non-data axis of size k > 1, else None."""
+    ctx = _patch_ctx.get()
+    if ctx is None:
+        return None
+    mesh, axis = ctx
+    others = [(n, s) for n, s in mesh.shape.items() if n != axis and s > 1]
+    if len(others) != 1:
+        return None
+    return mesh, axis, others[0][0], others[0][1]
+
+
+def _tp_permute_qkv(blocks: Dict[str, Any], k: int) -> Dict[str, Any]:
+    """Permute stacked-block qkv columns from [q|k|v] (heads contiguous in
+    each section) to head-group-major [q_0|k_0|v_0|...|q_{k-1}|k_{k-1}|v_{k-1}],
+    renaming the keys to ``qkv_gw``/``qkv_gb``.
+
+    Under Megatron TP the qkv weight's output axis is GSPMD-sharded in
+    contiguous chunks; in the checkpoint's [q|k|v] layout those chunks mix
+    sections (device 0 would get all of q plus part of k). Head-group-major
+    order makes each model-axis shard hold the complete q/k/v of its own
+    head group -- exactly the layout the fused attention kernel expects per
+    shard, with zero extra collectives, and group-major head order equals
+    standard head order so the attention output feeds the row-sharded proj
+    unchanged. The rename makes the layout self-describing: the forward
+    path dispatches on the key (models/vit.py), so permuted parameters can
+    never be silently misread as checkpoint-layout ones (jax interns equal
+    Mesh objects, so a mesh-keyed registry could not provide that
+    guarantee)."""
+    c3 = blocks["qkv_w"].shape[-1]
+    c = c3 // 3
+    per = c // k
+    idx = np.concatenate([
+        np.concatenate([sec * c + g * per + np.arange(per) for sec in range(3)])
+        for g in range(k)
+    ])
+    out = {key: v for key, v in blocks.items() if key not in ("qkv_w", "qkv_b")}
+    out["qkv_gw"] = blocks["qkv_w"][..., idx]
+    out["qkv_gb"] = blocks["qkv_b"][..., idx]
+    return out
+
+
 def active_data_mesh():
     """(mesh, axis) of the enclosing ``patch_sharded`` context when the
     mesh is pure data-parallel (model axis of size 1), else None.
@@ -114,9 +157,13 @@ def shard_batch(x, mesh: Mesh, axis: str = "data"):
 
 def _vit_block_specs() -> Dict[str, P]:
     # Stacked block params have a leading layer axis (never sharded).
+    # qkv_gw/qkv_gb are the head-group-permuted qkv (see _tp_permute_qkv);
+    # same sharding, different column order.
     return {
         "qkv_w": P(None, None, "model"),
         "qkv_b": P(None, "model"),
+        "qkv_gw": P(None, None, "model"),
+        "qkv_gb": P(None, "model"),
         "proj_w": P(None, "model", None),
         "fc1_w": P(None, None, "model"),
         "fc1_b": P(None, "model"),
@@ -141,7 +188,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
     def walk(p, path=()):
         if isinstance(p, dict):
-            if "qkv_w" in p:  # stacked vit blocks
+            if "qkv_w" in p or "qkv_gw" in p:  # stacked vit blocks
                 block_specs = _vit_block_specs()
                 return {k: block_specs.get(k, P()) for k in p}
             return {k: walk(v, path + (k,)) for k, v in p.items()}
@@ -152,8 +199,31 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params)
 
 
-def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put the parameter tree with TP shardings over ``mesh``."""
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 num_heads: Optional[int] = None) -> Dict[str, Any]:
+    """device_put the parameter tree with TP shardings over ``mesh``.
+
+    When the mesh has a model axis of size k > 1 and ``num_heads`` (the
+    ViTs' head count, divisible by k) is given, the qkv parameters are
+    permuted to the head-group-major TP layout (see _tp_permute_qkv) and the
+    layout is registered for this mesh; the forward path then runs
+    attention head-locally per shard -- through the fused Pallas kernel
+    where the geometry allows -- with no extra collectives. Without
+    ``num_heads`` the layout stays as in the checkpoint and TP falls back
+    to GSPMD-resharded XLA attention (correct, slower).
+    """
+    model_axes = [s for n, s in mesh.shape.items() if n != "data" and s > 1]
+    k = model_axes[0] if len(model_axes) == 1 else 1
+    if k > 1 and num_heads is not None and num_heads % k == 0:
+        def permute(p):
+            if isinstance(p, dict):
+                if "qkv_w" in p:
+                    return _tp_permute_qkv(p, k)
+                return {key: permute(v) for key, v in p.items()}
+            return p
+
+        params = permute(params)
+
     specs = param_specs(params)
 
     def place(leaf, spec):

@@ -42,7 +42,7 @@ def test_sharded_matches_single_device(params, model_parallel):
     ref_inv, ref_fov = jax.jit(lambda p, x: _forward(cfg, p, x))(params, jnp.asarray(img_np))
 
     mesh = make_mesh(8, model=model_parallel)
-    sparams = shard_params(params, mesh)
+    sparams = shard_params(params, mesh, num_heads=cfg.num_heads)
     simg = shard_batch(jnp.asarray(img_np), mesh)
     with patch_sharded(mesh):
         inv, fov = jax.jit(lambda p, x: _forward(cfg, p, x))(sparams, simg)
@@ -82,7 +82,13 @@ def test_mid_config_collectives_in_compiled_hlo():
     assert the GSPMD partitioner produced what the layout promises:
 
     * TP all-reduces inside the ViT blocks (proj/fc2 row-parallel sums),
-    * an all-gather where the overlapping patch pyramid merges,
+    * a patch-redistribution collective where the overlapping pyramid
+      merges (GSPMD may lower the gather as all-gather or all-to-all /
+      collective-permute chains),
+    * NO all-gather: with the head-group qkv layout (shard_params
+      num_heads) attention is head-local per shard, so the per-block qkv
+      all-gathers the legacy layout needed (4 of them, measured 2.0 MB on
+      this config) must be gone,
     * the patch axis is actually split: the padded 36-patch pyramid appears
       as a 9-patch per-device tensor. If GSPMD ever stops sharding the
       patch axis, the full 36-patch shape reappears and this fails.
@@ -91,7 +97,7 @@ def test_mid_config_collectives_in_compiled_hlo():
 
     cfg = MID
     mesh = make_mesh(8, model=2)
-    params = shard_params(init_params(cfg, seed=0), mesh)
+    params = shard_params(init_params(cfg, seed=0), mesh, num_heads=cfg.num_heads)
     img = shard_batch(jnp.ones((1, cfg.img_size, cfg.img_size, 3), jnp.float32), mesh)
 
     with patch_sharded(mesh):
@@ -100,7 +106,10 @@ def test_mid_config_collectives_in_compiled_hlo():
     txt = compiled.as_text()
 
     assert "all-reduce" in txt, "expected TP all-reduces in the partitioned HLO"
-    assert "all-gather" in txt, "expected a patch-merge all-gather"
+    assert "all-to-all" in txt or "all-gather" in txt, \
+        "expected a patch-merge redistribution collective"
+    assert "all-gather" not in txt, \
+        "head-group TP layout should not need qkv all-gathers"
     # 1 image -> 35 patches padded to 36 over data=4 -> 9 per device
     per_device_pyramid = f"[9,{cfg.vit_img_size},{cfg.vit_img_size},3]"
     full_pyramid = f"[36,{cfg.vit_img_size},{cfg.vit_img_size},3]"
@@ -162,10 +171,12 @@ def test_flash_shard_mapped_on_data_mesh(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_flash_disabled_under_tensor_parallel_mesh():
-    # Tensor parallelism splits the qkv features mid-section, so the flash
-    # kernels must silently yield to the XLA attention path (same numerics,
-    # no opaque custom call inside the GSPMD computation).
+def test_flash_disabled_on_checkpoint_layout_under_tp_mesh():
+    # Parameters still in checkpoint [q|k|v] order (never transformed by
+    # shard_params) under a TP mesh: the qkv features are GSPMD-sharded
+    # mid-section, so the flash kernels must silently yield to the XLA
+    # attention path (same numerics, no opaque custom call inside the
+    # GSPMD computation).
     import numpy as np
 
     from matrix_eyes_tpu.config import MID
@@ -174,6 +185,7 @@ def test_flash_disabled_under_tensor_parallel_mesh():
 
     cfg = MID
     p = init_params(cfg, seed=11)["encoder"]["patch_encoder"]
+    assert "qkv_gw" not in p["blocks"]
     rng = np.random.RandomState(13)
     x = jnp.asarray(rng.uniform(-1, 1, (4, cfg.vit_img_size, cfg.vit_img_size, 3))
                     .astype(np.float32))
@@ -183,6 +195,115 @@ def test_flash_disabled_under_tensor_parallel_mesh():
     with patch_sharded(mesh):
         assert vit._flash_sharding(4) is None
         got, _ = vit.forward_features(cfg, p, x, use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_grouped_params_require_mesh_context():
+    # Head-group-permuted parameters outside their mesh context must fail
+    # loudly (silently misreading the layout would corrupt numerics).
+    import pytest as _pytest
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+
+    cfg = MID
+    full = init_params(cfg, seed=11)
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(full, mesh, num_heads=cfg.num_heads)
+    p = sparams["encoder"]["patch_encoder"]
+    assert "qkv_gw" in p["blocks"]
+    x = jnp.zeros((1, cfg.vit_img_size, cfg.vit_img_size, 3), jnp.float32)
+    with _pytest.raises(ValueError, match="patch_sharded"):
+        vit.forward_features(cfg, p, x, use_flash=False)
+
+
+def _tp_fusable_cfg():
+    # Smallest geometry whose per-shard head group is lane-alignable at
+    # k=2: H=8, D=32 -> H_loc=4, 4*32=128 features.
+    import dataclasses
+
+    from matrix_eyes_tpu.config import MID
+
+    return dataclasses.replace(MID, embed_dim=256, num_heads=8)
+
+
+def test_flash_kernel_engages_under_registered_tp_mesh(monkeypatch):
+    # With the head-group-major layout registered by shard_params, the
+    # fused attention kernel runs per model-axis shard with H/k heads under
+    # shard_map. Same stub strategy as the data-parallel routing test
+    # (interpret-mode Pallas deadlocks inside shard_map on the virtual CPU
+    # mesh): a same-signature reference computes the math; the kernel
+    # numerics are covered by tests/test_flash_attention.py.
+    import numpy as np
+
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+    from matrix_eyes_tpu.ops import flash_attention
+
+    calls = []
+
+    def reference_qkv_attention(qkv, num_heads, scale, n_valid=None, **kw):
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        D = C // num_heads
+        calls.append((B, num_heads))
+        q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, N, num_heads, D)
+                   .transpose(0, 2, 1, 3) for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if n_valid is not None and n_valid < N:
+            s = jnp.where(jnp.arange(N)[None, None, None, :] >= n_valid,
+                          jnp.float32(-1e30), s)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    cfg = _tp_fusable_cfg()
+    full = init_params(cfg, seed=21)
+    p_ref = full["encoder"]["patch_encoder"]
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    want, _ = vit.forward_features(cfg, p_ref, x, use_flash=False)
+
+    monkeypatch.setattr(flash_attention, "attention_flash_qkv",
+                        reference_qkv_attention)
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(full, mesh, num_heads=cfg.num_heads)
+    assert "qkv_gw" in sparams["encoder"]["patch_encoder"]["blocks"]
+    with patch_sharded(mesh):
+        got, _ = vit.forward_features(cfg, sparams["encoder"]["patch_encoder"],
+                                      x, use_flash=True)
+    assert calls and all(h == cfg.num_heads // 2 for _, h in calls), \
+        f"kernel should see per-shard head groups, saw {set(calls)}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_xla_path_matches_on_permuted_layout():
+    # Registered TP layout but a geometry the kernel cannot lane-align
+    # (H_loc * D not 128-divisible): attention takes the permuted-layout
+    # XLA path, which must match the unpermuted single-device forward.
+    import numpy as np
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+
+    cfg = MID  # H=4, D=32: H_loc=2 -> 64 features, not fusable at k=2
+    full = init_params(cfg, seed=31)
+    rng = np.random.RandomState(32)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    want, _ = vit.forward_features(cfg, full["encoder"]["patch_encoder"], x,
+                                   use_flash=False)
+
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(full, mesh, num_heads=cfg.num_heads)
+    with patch_sharded(mesh):
+        got, _ = vit.forward_features(
+            cfg, sparams["encoder"]["patch_encoder"], x, use_flash=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 

@@ -1,0 +1,139 @@
+"""Native striped PNG encoder: round-trip correctness vs PIL decode, the
+streaming band API, and the banded device-output paths in DepthMap."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.native import pngwriter as pw
+
+pytestmark = pytest.mark.skipif(not pw.available(),
+                                reason="native PNG encoder unavailable")
+
+
+def _decode(path):
+    from PIL import Image
+
+    with Image.open(path) as im:
+        assert im.mode == "RGB"
+        return np.asarray(im)
+
+
+@pytest.mark.parametrize("filt", [pw.FILTER_NONE, pw.FILTER_SUB, pw.FILTER_UP,
+                                  pw.FILTER_AVERAGE, pw.FILTER_PAETH])
+def test_round_trip_all_filters(tmp_path, filt):
+    rng = np.random.RandomState(filt)
+    img = rng.randint(0, 256, (37, 53, 3), np.uint8)
+    p = str(tmp_path / f"f{filt}.png")
+    assert pw.encode(img, p, level=1, filter=filt, stripe_rows=10)
+    np.testing.assert_array_equal(_decode(p), img)
+
+
+def test_round_trip_multi_stripe_levels(tmp_path):
+    rng = np.random.RandomState(0)
+    for level in (0, 1, 6, 9):
+        img = rng.randint(0, 256, (130, 257, 3), np.uint8)
+        p = str(tmp_path / f"l{level}.png")
+        assert pw.encode(img, p, level=level, filter=pw.FILTER_PAETH,
+                         stripe_rows=17)
+        np.testing.assert_array_equal(_decode(p), img)
+
+
+def test_streaming_bands(tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (301, 211, 3), np.uint8)
+    p = str(tmp_path / "stream.png")
+    with pw.PngEncoder(p, 211, 301, level=1, filter=pw.FILTER_UP) as enc:
+        for y in range(0, 301, 64):
+            enc.write_rows(img[y:y + 64])
+    np.testing.assert_array_equal(_decode(p), img)
+
+
+def test_streaming_row_overflow_fails(tmp_path):
+    img = np.zeros((8, 8, 3), np.uint8)
+    p = str(tmp_path / "overflow.png")
+    enc = pw.PngEncoder(p, 8, 4, level=1)
+    with pytest.raises(OSError):
+        enc.write_rows(img)  # 8 rows into a 4-row image
+
+
+def test_save_device_bands_matches_full(tmp_path):
+    from matrix_eyes_tpu.output import png
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (97, 41, 3), np.uint8)
+    bands = [jnp.asarray(img[lo:lo + 25]) for lo in range(0, 97, 25)]
+    p = str(tmp_path / "bands.png")
+    png.save_device_bands(bands, p, **png.STEREOGRAM)
+    np.testing.assert_array_equal(_decode(p), img)
+
+
+def test_depthmap_banded_png_matches_array_path(tmp_path):
+    """output_image .png routes through the banded native encoder; the file
+    must decode to exactly the array the render methods produce."""
+    from matrix_eyes_tpu.output.depthmap import DepthMap, ImageOutputFormat
+
+    rng = np.random.RandomState(3)
+    inv = jnp.asarray(rng.uniform(1 / 250, 1 / 0.1, (32, 32)).astype(np.float32))
+    dm = DepthMap.new(inv, original_size=(60, 48))
+
+    p1 = str(tmp_path / "depth.png")
+    dm.output_image(p1, source_path="", image_format=ImageOutputFormat.DEPTH_MAP)
+    np.testing.assert_array_equal(_decode(p1), dm.render_depth_map())
+
+    p2 = str(tmp_path / "stereo.png")
+    dm.output_image(p2, source_path="",
+                    image_format=ImageOutputFormat.STEREOGRAM, seed=7)
+    np.testing.assert_array_equal(
+        _decode(p2), dm.render_stereogram(None, 1.0 / 16.0, seed=7))
+
+
+def test_stereo_split_png_identical_to_full_render(tmp_path):
+    """The compact (shift, noise) save path must produce a PNG whose pixels
+    are exactly the device-resolved stereogram."""
+    from matrix_eyes_tpu.ops.stereogram import (
+        synthesize_stereogram,
+        synthesize_stereogram_split,
+    )
+    from matrix_eyes_tpu.output import png
+
+    rng = np.random.RandomState(9)
+    depth = jnp.asarray(rng.uniform(1 / 250, 1 / 0.1, (32, 48)).astype(np.float32))
+    for oh, ow, amp in [(64, 96, 1 / 16.0), (50, 77, 0.05), (40, 2100, 0.1)]:
+        full = np.asarray(synthesize_stereogram(depth, oh, ow, amp, seed=5))
+        split = synthesize_stereogram_split(depth, oh, ow, amp, seed=5,
+                                            band_rows=16)
+        assert split is not None, (oh, ow, amp)
+        pw, pairs = split
+        p = str(tmp_path / f"split_{ow}.png")
+        png.save_stereogram_split(pairs, p, pw)
+        np.testing.assert_array_equal(_decode(p), full)
+
+
+def test_stereo_split_fallbacks():
+    from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_split
+
+    depth = jnp.ones((8, 8), jnp.float32)
+    # pw == 0 (degenerate amplitude)
+    assert synthesize_stereogram_split(depth, 16, 16, 0.0) is None
+    # wide self-link case: dm ~ 0.5 makes max_shift == pw
+    assert synthesize_stereogram_split(depth, 16, 16, 0.5 / 16.0) is None
+    # shifts over 255 don't fit u8
+    assert synthesize_stereogram_split(depth, 16, 4096, 0.25) is None
+
+
+def test_stereogram_bands_equal_full_image():
+    from matrix_eyes_tpu.ops.stereogram import (
+        synthesize_stereogram,
+        synthesize_stereogram_bands,
+    )
+
+    rng = np.random.RandomState(4)
+    depth = jnp.asarray(rng.uniform(1 / 250, 1 / 0.1, (24, 24)).astype(np.float32))
+    full = np.asarray(synthesize_stereogram(depth, 50, 70, 1 / 16.0, seed=3))
+    bands = synthesize_stereogram_bands(depth, 50, 70, 1 / 16.0, seed=3,
+                                        band_rows=16)
+    assert [int(b.shape[0]) for b in bands] == [16, 16, 16, 2]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b) for b in bands], axis=0), full)
