@@ -318,6 +318,7 @@ def convert_state_dict(
     flat: Dict[str, np.ndarray],
     dtype=jnp.float32,
     parts: Sequence[str] = PARTS,
+    device: bool = True,
 ) -> Dict[str, Any]:
     """Convert a flat torch state dict to the model parameter pytree.
 
@@ -325,6 +326,12 @@ def convert_state_dict(
     mirroring the reference's hard errors (mod.rs:238-243). Casting to the
     runtime dtype happens here, like the reference's HalfPrecisionAdapter
     (mod.rs:125-164).
+
+    ``device=False`` keeps the leaves as host numpy arrays (cast to the
+    numpy view of ``dtype``): through a remote device relay, a per-leaf
+    ``jnp.asarray`` costs a dispatch round-trip per tensor (~0.5 s x ~900
+    leaves); the loader instead writes caches from host memory and uploads
+    one blob per part (loader._place_part).
     """
     ks = _KeySpace(flat)
     converters = {
@@ -350,5 +357,9 @@ def convert_state_dict(
             bad.append(f"expected {want.shape}, got {got.shape}")
     if bad:
         raise CheckpointBadShape("; ".join(bad[:10]))
-    out = [jnp.asarray(a, dtype=dtype) for a in flat_params]
+    if device:
+        out = [jnp.asarray(a, dtype=dtype) for a in flat_params]
+    else:
+        np_dtype = jnp.dtype(dtype)
+        out = [np.ascontiguousarray(np.asarray(a, dtype=np_dtype)) for a in flat_params]
     return jax.tree.unflatten(tree, out)
