@@ -21,7 +21,6 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.float32,
                 include_fov: bool = True) -> Dict[str, Any]:
     spec = param_spec(cfg, include_fov=include_fov)
     leaves, treedef = jax.tree.flatten(spec)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
 
     def init_leaf(key, s):
         shape = s.shape
@@ -37,8 +36,16 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.float32,
             w = jax.random.uniform(key, shape, jnp.float32, 0.05, 0.3)
         return w.astype(dtype)
 
-    inited = [init_leaf(k, s) for k, s in zip(keys, leaves)]
-    return jax.tree.unflatten(treedef, inited)
+    # One jitted program for the whole tree: through a remote device relay
+    # each eager RNG op is a ~0.5 s dispatch round-trip, so per-leaf init
+    # of the ~900-leaf production model measured ~10 minutes; a single
+    # dispatch runs in seconds.
+    @jax.jit
+    def init_all(seed_arr):
+        keys = jax.random.split(jax.random.PRNGKey(seed_arr), len(leaves))
+        return [init_leaf(k, s) for k, s in zip(keys, leaves)]
+
+    return jax.tree.unflatten(treedef, init_all(jnp.uint32(seed)))
 
 
 def init_params_fast(cfg: ModelConfig, dtype=jnp.float32, include_fov: bool = True):

@@ -6,13 +6,13 @@ The same convolution expressed as 9 shifted (R*W, Cin) @ (Cin, Cout)
 matmuls keeps the MXU in plain matmul mode at MXU-native shapes.
 
 Row halo without manual DMA: the kernel receives the SAME row-padded input
-through two BlockSpecs whose index maps differ by one block (rows
-[i*R, i*R+R) and [i*R+R, i*R+2R)), so consecutive blocks overlap-read and
-every program sees the R+2 rows it needs.  Column halo is handled inside
-the kernel with slice+zero-column concatenation (the full width is
-resident in VMEM).  Both input streams are auto double-buffered by the
-Pallas pipeline; the extra read traffic (input fetched twice) overlaps
-with compute.
+through two BlockSpecs -- an R-row block at rows [i*R, i*R+R) and a 2-row
+halo block at rows [i*R+R, i*R+R+2) (the 3x3 taps only ever read two rows
+past the block).  Column halo is handled inside the kernel with
+slice+zero-column concatenation (the full width is resident in VMEM).
+Both input streams are auto double-buffered by the Pallas pipeline; input
+read traffic is (R+2)/R of the tensor (1.25x at R=8), the same as a
+manual-DMA halo fetch would pay.
 
 Used when: stride 1, padding 1, HWIO weights, NHWC activations, channels
 lane-aligned (Cin/Cout multiples of 128), the VMEM footprint estimate
@@ -32,8 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
                     relu_in: bool = False, n_skips: int = 0):
-    """x0/x1: consecutive (rows, W, Cin) row blocks of the row-padded input
-    (together covering padded rows [i*R, i*R+2R)); o: (rows, W, Cout).
+    """x0: (rows, W, Cin) row block of the row-padded input at padded rows
+    [i*R, i*R+R); x1: the (2, W, Cin) halo block at [i*R+R, i*R+R+2);
+    o: (rows, W, Cout).
 
     ``relu_in`` applies ReLU to the input inside the kernel (one VMEM pass,
     instead of a materialised XLA pass over the whole HBM tensor before the
@@ -92,23 +93,50 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
 
 def _pick_rows(W: int, cin: int, cout: int, itemsize: int,
                n_skips: int) -> int | None:
-    """Largest row-block size whose VMEM footprint fits the 16 MB scoped
-    budget (with ~2 MB slop for Mosaic temporaries): two double-buffered
-    input streams, the output, the skip streams, the f32 accumulator and
-    the resident weights.  None if even rows=2 does not fit (the caller
-    must fall back to XLA's conv)."""
+    """Largest row-block size whose REAL scoped-VMEM footprint fits,
+    calibrated by on-chip compile probes (scripts/probe_conv_vmem.py).
+    None if even rows=2 does not fit (the caller falls back to XLA's conv).
 
-    def vmem_bytes(r):
+    What the probes taught (v5e, measured at production H -- the real
+    allocation grows with the GRID LENGTH, not just the block shapes; the
+    same f32 rows=2 config compiles at H=4 but allocates 21.6 MB at
+    H=768):
+
+    * the structural estimate below (double-buffered streams + weights +
+      accumulator, x0/x1 over-counted as two full R-row blocks to absorb
+      Mosaic's unmodelled temporaries) with a 14 MB budget matches the
+      bf16 frontier: bf16 @ 768x256 rows=8 really allocates 19.4 MB
+      (reject), rows=4 compiles (admit);
+    * ONE skip stream is nearly free in the real allocation (+0.11 MB
+      measured at rows=8), so when the no-skip sizing picks rows=4 the
+      single-skip config keeps it (probe-validated: bf16 768x256 rows=4
+      n_skips=1 compiles; n_skips=2 does NOT -- 16.39 MB);
+    * f32 does not fit at ANY probed (rows, 768x256) config (21.6-65 MB),
+      and its allocation is not a 2x scaling of bf16's, so 4-byte dtypes
+      are admitted only far from the frontier (W*C <= 48K elements, e.g.
+      the FOV-head scale) -- larger f32 convs take XLA's lowering, which
+      is fine: f32 runs are parity/diagnostic paths, not production.
+    """
+    if itemsize >= 4 and W * max(cin, cout) > 48 * 1024:
+        return None
+
+    def vmem_bytes(r, skips):
         return (2 * 2 * r * W * cin * itemsize        # x0/x1, double-buffered
                 + 2 * r * W * cout * itemsize         # out
-                + n_skips * 2 * r * W * cout * itemsize
+                + skips * 2 * r * W * cout * itemsize
                 + r * W * cout * 4                    # f32 accumulator
                 + 9 * cin * cout * itemsize + 2 * cout * itemsize)
 
-    for r in (8, 4, 2):
-        if vmem_bytes(r) <= 14 * 1024 * 1024:
-            return r
-    return None
+    def pick(skips):
+        for r in (8, 4, 2):
+            if vmem_bytes(r, skips) <= 14 * 1024 * 1024:
+                return r
+        return None
+
+    r = pick(n_skips)
+    if n_skips == 1 and itemsize <= 2 and pick(0) == 4:
+        r = 4  # single skip measured ~free at the rows=4 class (see above)
+    return r
 
 
 def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
@@ -128,15 +156,18 @@ def conv3x3_supported(x: jnp.ndarray, w: jnp.ndarray, stride: int,
     return _pick_rows(W, Cin, cout, jnp.dtype(x.dtype).itemsize, n_skips) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("relu_in", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu_in", "interpret", "rows"))
 def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                    skip: jnp.ndarray | None = None,
                    skip2: jnp.ndarray | None = None, relu_in: bool = False,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False, rows: int | None = None) -> jnp.ndarray:
     """x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; stride 1, pad 1.
 
     ``relu_in``: apply ReLU to x inside the kernel; ``skip``/``skip2``:
-    optional (B, H, W, Cout) residuals added to the output."""
+    optional (B, H, W, Cout) residuals added to the output. ``rows``
+    overrides the row-block size (even, for on-chip VMEM-frontier probing
+    only -- can produce a scoped-VMEM compile error; production callers
+    leave it None)."""
     if skip is None and skip2 is not None:
         skip, skip2 = skip2, None
     B, H, W, Cin = x.shape
@@ -148,21 +179,29 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     # (A fixed row-block size was measured 17 KB over the scoped-VMEM
     # limit once the skip stream was added at 768^2 x 256 -- size from the
     # explicit footprint estimate instead.)
-    rows = _pick_rows(W, Cin, cout, jnp.dtype(dt).itemsize,
-                      (skip is not None) + (skip2 is not None))
+    if rows is None:
+        rows = _pick_rows(W, Cin, cout, jnp.dtype(dt).itemsize,
+                          (skip is not None) + (skip2 is not None))
+    elif rows % 2:
+        raise ValueError(f"rows override must be even, got {rows}")
     if rows is None:
         raise ValueError(
             f"conv3x3_pallas does not fit VMEM at W={W} Cin={Cin} "
             f"Cout={cout} dtype={dt}; gate with conv3x3_supported/"
             f"conv3x3_dispatch (which check this) and use nn.conv2d")
     n_blocks = -(-H // rows)  # cdiv over output rows
-    # padded rows: 1 top halo; bottom so that block i+1 exists for every i
-    pad_bottom = (n_blocks + 1) * rows - H - 1
+    # padded rows: 1 top halo; bottom so the 2-row halo block exists for
+    # every i (padded row count n_blocks*rows + 2, even since rows is)
+    pad_bottom = n_blocks * rows + 1 - H
     xp = jnp.pad(x, ((0, 0), (1, pad_bottom), (0, 0), (0, 0)))
 
     spec0 = pl.BlockSpec((1, rows, W, Cin), lambda bb, i: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((1, rows, W, Cin), lambda bb, i: (bb, i + 1, 0, 0),
+    # The taps read at most 2 rows past the block (x1_ref[:u], u <= 2), so
+    # the halo stream is a 2-row block at padded rows [i*rows+rows, +2):
+    # block index (i*rows + rows)/2 in units of 2-row blocks.
+    spec1 = pl.BlockSpec((1, 2, W, Cin),
+                         lambda bb, i, r=rows: (bb, (i * r + r) // 2, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((3, 3, Cin, cout), lambda bb, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)

@@ -52,31 +52,46 @@ def test_conv3x3_relu_in_and_skip():
 
 def test_conv3x3_rows2_path():
     # Full decoder width with two skip streams forces the rows=2 VMEM
-    # sizing (the configuration class that OOM'd scoped vmem at a fixed
-    # row count); at rows=2 the u=2 row tap reads exclusively from the
-    # second row block.
+    # sizing (probe-measured: bf16 rows=4 with two skips allocates
+    # 16.39 MB on-chip); at rows=2 the u=2 row tap reads exclusively from
+    # the second row block -- exercise that path via the rows override.
     from matrix_eyes_tpu.ops.conv3x3 import _pick_rows
 
+    assert _pick_rows(768, 256, 256, 2, n_skips=2) == 2
     H, W, Cin = 4, 768, 128
-    assert _pick_rows(W, Cin, Cin, 4, n_skips=2) == 2
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
     w = jnp.asarray(rng.uniform(-0.1, 0.1, (3, 3, Cin, Cin)).astype(np.float32))
     skip = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
     want = nn.conv2d(nn.relu(x), w, padding=1) + skip + 2.0 * skip
     got = conv3x3_pallas(x, w, None, skip=skip, skip2=2.0 * skip,
-                         relu_in=True, interpret=True)
+                         relu_in=True, interpret=True, rows=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
+def test_conv3x3_single_skip_keeps_rows4():
+    # ONE skip stream is measured ~free in the real allocation: the
+    # single-skip RCU conv at the decoder's hot shape keeps the rows=4
+    # sizing of the skipless conv (probe-validated on-chip).
+    from matrix_eyes_tpu.ops.conv3x3 import _pick_rows
+
+    assert _pick_rows(768, 256, 256, 2, n_skips=0) == 4
+    assert _pick_rows(768, 256, 256, 2, n_skips=1) == 4
+    assert _pick_rows(768, 256, 256, 2, n_skips=2) == 2
+
+
 def test_conv3x3_vmem_gate_rejects_oversize_f32():
-    # f32 at the decoder's largest shape with the RCU's skip streams does
-    # not fit scoped VMEM at any row count: the gate must say no (XLA
-    # fallback) and the kernel must refuse loudly rather than OOM on-chip.
+    # f32 at the decoder's shapes does not fit scoped VMEM at any probed
+    # row count (21.6-65 MB real allocations measured on-chip): the gate
+    # must say no (XLA fallback) and the kernel must refuse loudly rather
+    # than OOM on-chip. Small f32 shapes (FOV-head scale) stay admitted.
     from matrix_eyes_tpu.ops.conv3x3 import _pick_rows
 
     assert _pick_rows(768, 256, 256, 4, n_skips=1) is None
+    assert _pick_rows(768, 256, 256, 4, n_skips=0) is None  # the measured 21.6 MB OOM
+    assert _pick_rows(768, 128, 128, 4, n_skips=0) is None  # unprobed near-frontier
+    assert _pick_rows(128, 128, 128, 4, n_skips=0) is not None  # small f32 ok
     x = jnp.zeros((1, 8, 768, 256), jnp.float32)
     w = jnp.zeros((3, 3, 256, 256), jnp.float32)
     assert not conv3x3_supported(x, w, 1, 1, n_skips=1)
@@ -85,6 +100,23 @@ def test_conv3x3_vmem_gate_rejects_oversize_f32():
     with pytest.raises(ValueError, match="VMEM"):
         conv3x3_pallas(x, w, None, skip=jnp.zeros((1, 8, 768, 256), jnp.float32),
                        interpret=True)
+
+
+@pytest.mark.parametrize("rows", [2, 4, 8])
+def test_conv3x3_rows_override_halo(rows):
+    # The halo stream is a 2-row block at padded rows [i*R+R, i*R+R+2);
+    # exercise every row-block size across block boundaries (H spans
+    # several blocks and is not a multiple of the block).
+    H, W, Cin = 18, 16, 128
+    rng = np.random.RandomState(rows)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, H, W, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, Cin, Cin)).astype(np.float32))
+    want = nn.conv2d(x, w, stride=1, padding=1)
+    got = conv3x3_pallas(x, w, interpret=True, rows=rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError, match="even"):
+        conv3x3_pallas(x, w, interpret=True, rows=3)
 
 
 def test_conv3x3_support_gate():
