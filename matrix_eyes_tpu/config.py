@@ -43,6 +43,13 @@ class ModelConfig:
     decoder_features: int = 256
     head_last_dims: Tuple[int, int] = (32, 1)
     highres_block_ids: Tuple[int, int] = (5, 11)
+    # Carry the ViT residual stream in f32 when the compute dtype is
+    # narrower (matmuls stay bf16 on the MXU; LayerNorm inputs, residual
+    # adds and LayerScale run f32). bf16 error attribution located the
+    # canonical-output error tail in the encoder's residual accumulation
+    # across the 24 blocks, not the decoder/head (scripts/
+    # bf16_attribution.py); this buys the tail back for a few ms/image.
+    vit_f32_residual: bool = True
 
     @property
     def img_size(self) -> int:

@@ -103,7 +103,13 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     D = cfg.head_dim
     scale = 1.0 / (D ** 0.5)
 
+    # The residual carry x may be wider than the matmul compute dtype (the
+    # f32-residual policy, see forward_features): branch inputs are cast to
+    # the weights' dtype so every matmul stays on the MXU in bf16, while
+    # the adds/LayerScale below run in the carry dtype via promotion.
+    wdt = (p["qkv_gw"] if "qkv_gw" in p else p["qkv_w"]).dtype
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
+    h = h.astype(wdt)
     from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
 
     if "qkv_gw" in p:
@@ -152,7 +158,7 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     x = x + o * p["ls1"]
 
     h = nn.layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)
-    h = nn.linear(h, p["fc1_w"], p["fc1_b"])
+    h = nn.linear(h.astype(wdt), p["fc1_w"], p["fc1_b"])
     h = nn.gelu(h)
     h = nn.linear(h, p["fc2_w"], p["fc2_b"])
     return x + h * p["ls2"]
@@ -231,6 +237,15 @@ def forward_features(
                 # wrapped, so flash requires fusable head geometry here
                 use_flash = use_flash and qkv_fusable(cfg.num_heads, cfg.head_dim)
 
+    # f32 residual stream: the carry through the 24 blocks is where bf16
+    # rounding ACCUMULATES (per-stage error attribution located the
+    # canonical error tail here, not in the decoder/head); matmul inputs
+    # are cast back down inside block_forward, so the MXU work is
+    # unchanged. Outputs are returned in the original compute dtype.
+    out_dt = tokens.dtype
+    if cfg.vit_f32_residual and jnp.dtype(out_dt).itemsize < 4:
+        tokens = tokens.astype(jnp.float32)
+
     # With the flash kernel, pad the token axis to a lane multiple ONCE for
     # all blocks (instead of per-attention pad/slice -- that would move the
     # full activation through HBM twice per block). Padded rows carry
@@ -247,9 +262,9 @@ def forward_features(
     lo = 0
     for bid in intermediate_blocks:
         tokens = _scan_blocks(cfg, stacked, tokens, lo, bid + 1, use_flash, n_valid)
-        inters.append(tokens[:, :seq, :])
+        inters.append(tokens[:, :seq, :].astype(out_dt))
         lo = bid + 1
     tokens = _scan_blocks(cfg, stacked, tokens, lo, cfg.depth, use_flash, n_valid)
     final = nn.layer_norm(tokens[:, :seq, :], params["norm"]["scale"],
                           params["norm"]["bias"], cfg.layer_norm_eps)
-    return final, inters
+    return final.astype(out_dt), inters

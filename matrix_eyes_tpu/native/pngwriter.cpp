@@ -106,7 +106,10 @@ void reconstruct_stereo_rows(const uint8_t* shift, const uint8_t* noise,
     int64_t head = std::min<int64_t>(pw, w);
     std::memcpy(orow, nrow, (size_t)head * 3);
     for (int64_t x = pw; x < w; ++x) {
-      int64_t p = x + (int64_t)srow[x] - pw;  // in [x - pw, x)
+      int64_t p = x + (int64_t)srow[x] - pw;  // in [x - pw, x) for valid input
+      // contract: shift <= dm < pw (the wrapper gates the pathological
+      // cases); clamp so corrupted shifts cannot read past the row
+      p = p < x ? p : x - 1;
       std::memcpy(orow + x * 3, orow + p * 3, 3);
     }
   }

@@ -12,6 +12,7 @@ Emits one JSON line per result.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -57,44 +58,111 @@ def main():
         canon, fov = full(params, img.astype(dtype))
         return np.asarray(canon), np.asarray(fov)
 
-    canon32, fov32 = run(params32, jnp.float32, use_flash=False)
-    print("f32 reference done", file=sys.stderr, flush=True)
+    # The f32 reference costs ~10 min of remote compile; cache it on disk
+    # across probe invocations (keyed by the init seed + image seed).
+    ref_path = "/tmp/bf16_attr_ref_s7_i3.npz"
+    if os.path.exists(ref_path):
+        with np.load(ref_path) as z:
+            canon32, fov32 = z["canon"], z["fov"]
+        print("f32 reference loaded from cache", file=sys.stderr, flush=True)
+    else:
+        canon32, fov32 = run(params32, jnp.float32, use_flash=False)
+        np.savez(ref_path, canon=canon32, fov=fov32)
+        print("f32 reference done", file=sys.stderr, flush=True)
 
     from matrix_eyes_tpu.models import decoder as decoder_mod
     from matrix_eyes_tpu.models import encoder as encoder_mod
     from matrix_eyes_tpu.models import head as head_mod
+    from matrix_eyes_tpu.ops import nn
 
     cast16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)
+
+    def hybrid_decoder(dp32, dp16, encodings, f32_levels):
+        """decoder_mod.forward with per-fusion-level precision: level i
+        (0 = finest 768^2 ... 4 = coarsest 48^2) runs in f32 when
+        i in f32_levels, else bf16 (activations cast at each level
+        boundary, weights from the matching tree)."""
+        n = len(encodings)
+
+        def pick(i):
+            f32 = i in f32_levels
+            dp = dp32 if f32 else dp16
+            return (jnp.float32 if f32 else jnp.bfloat16), dp["convs"], dp["fusions"]
+
+        i = n - 1
+        dt, convs, fusions = pick(i)
+        features = nn.conv2d(encodings[-1].astype(dt), convs[-1]["w"], padding=1)
+        lowres = features
+        features = decoder_mod.feature_fusion_block(fusions[-1], features, None)
+        skip = 0 if len(convs) == len(fusions) else 1
+        for i in range(n - 2, -1, -1):
+            dt, convs, fusions = pick(i)
+            features = features.astype(dt)
+            enc = encodings[i].astype(dt)
+            if i - skip >= 0:
+                proj = convs[i - skip]
+                enc = (nn.linear(enc, proj["w"]) if proj["w"].ndim == 2
+                       else nn.conv2d(enc, proj["w"], padding=1))
+            features = decoder_mod.feature_fusion_block(fusions[i], features, enc)
+        return features, lowres
+
+    # probe -> (decoder f32 levels, head f32)
+    PROBES = {
+        "none": (frozenset(), False),
+        "head": (frozenset(), True),
+        "decoder": (frozenset(range(5)), False),
+        "dec_head": (frozenset(range(5)), True),
+        "dec_fine": (frozenset({0}), True),       # finest fusion + head
+        "dec_coarse": (frozenset({1, 2, 3, 4}), True),
+        "dec_fine_only": (frozenset({0}), False),
+    }
 
     def run_hybrid(probe):
         """Full bf16 pipeline with selected stages promoted to f32
         (activations cast at the stage boundary, f32 weights -- the
         models/fov.py policy applied to other stages)."""
-        f32_dec = probe in ("decoder", "dec_head")
-        f32_head = probe in ("head", "dec_head")
+        f32_levels, f32_head = PROBES[probe]
 
         @jax.jit
         def full(p32, p16, im):
             encodings = encoder_mod.forward_encodings(
                 cfg, p16["encoder"], im, True)
-            if f32_dec:
-                encodings = [e.astype(jnp.float32) for e in encodings]
-            features, lowres = decoder_mod.forward(
-                p32["decoder"] if f32_dec else p16["decoder"], encodings)
-            if f32_head:
-                features = features.astype(jnp.float32)
+            features, lowres = hybrid_decoder(
+                p32["decoder"], p16["decoder"], encodings, f32_levels)
+            features = features.astype(jnp.float32 if f32_head else jnp.bfloat16)
             canonical = head_mod.forward(
                 p32["head"] if f32_head else p16["head"], features)[..., 0]
-            fov_deg = fov_mod.forward(cfg, p16["fov"], im, lowres, True)
+            fov_deg = fov_mod.forward(cfg, p16["fov"], im,
+                                      lowres.astype(jnp.bfloat16), True)
             return canonical.astype(jnp.float32), fov_deg.astype(jnp.float32)
 
         canon, fov = full(params32, cast16, img.astype(jnp.bfloat16))
         return np.asarray(canon), np.asarray(fov)
 
+    def run_special(probe):
+        """Decomposition probes separating error SOURCES (not stages):
+
+        a32      f32 activations everywhere but weights carry bf16
+                 rounding (cast f32->bf16->f32): the share of the error
+                 due to WEIGHT quantisation alone.
+        noflash  plain bf16 pipeline with XLA attention instead of the
+                 Pallas flash kernel: the kernel's own contribution
+                 (exp2 softmax etc.) -- the f32 reference is flash-off.
+        """
+        if probe == "a32":
+            p = jax.tree.map(lambda a: a.astype(jnp.float32), cast16)
+            return run(p, jnp.float32, use_flash=False)
+        if probe == "noflash":
+            return run(cast16, jnp.bfloat16, use_flash=False)
+        raise SystemExit(f"unknown probe {probe}")
+
     probes = sys.argv[1:] or ["none", "head", "decoder", "dec_head"]
     for probe in probes:
         t0 = time.time()
-        canon, fov = run_hybrid(probe)
+        if probe in PROBES:
+            canon, fov = run_hybrid(probe)
+        else:
+            canon, fov = run_special(probe)
         dt = time.time() - t0
         print(json.dumps({
             "probe": probe,

@@ -128,8 +128,14 @@ def _jax_e2e(cfg, checkpoint, img_np, dtype):
     return inv, fov
 
 
-def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False):
-    """(inv, fov_deg, canonical) at the given dtype."""
+def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False,
+              quantize_weights=None):
+    """(inv, fov_deg, canonical) at the given dtype.
+
+    ``quantize_weights``: round-trip the parameters through this dtype
+    before running (e.g. f32 compute with bf16-rounded weights isolates
+    weight-quantisation error from compute error on the real artifact --
+    see docs/PARITY_RESULTS.md attribution)."""
     import math
 
     import jax
@@ -140,6 +146,9 @@ def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False):
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
     _, params = load_checkpoint(checkpoint, dtype=dtype)
+    if quantize_weights is not None:
+        params = jax.tree.map(
+            lambda a: a.astype(quantize_weights).astype(dtype), params)
 
     @jax.jit
     def full(p, im):
@@ -177,15 +186,22 @@ def run_tpu_e2e(args):
         raise SystemExit(f"run stages-f32 first (missing {ref_path})")
     ref = np.load(ref_path)
 
+    import jax.numpy as jnp2
+
+    qw = {"none": None, "bf16": jnp2.bfloat16, "f16": jnp2.float16}[
+        args.quantize_weights]
     cfg, _ = load_checkpoint(args.checkpoint, dtype=dtype, parts=("head",))
     img_np, _src = load_inputs(args.image, cfg.img_size)
     t0 = time.time()
     inv_j, fov_j, canon_j = _jax_full(cfg, args.checkpoint, img_np, dtype,
-                                      use_flash=True)
+                                      use_flash=True, quantize_weights=qw)
     print(f"[jax {args.dtype}] e2e in {time.time()-t0:.0f}s", flush=True)
 
+    mode = f"tpu-e2e-{args.dtype}"
+    if qw is not None:
+        mode += f"-w{args.quantize_weights}"
     report = {
-        "mode": f"tpu-e2e-{args.dtype}",
+        "mode": mode,
         "canonical": rel_err(canon_j, ref["canonical"], floor=1e-2),
         "inv_output_range": output_range_err(inv_j, ref["inv"]),
         "inv_raw": rel_err(inv_j, ref["inv"]),
@@ -223,6 +239,56 @@ def run_e2e_bf16(args):
     _emit(args, report)
 
 
+def run_torch_ref(args):
+    """Regenerate ONLY <out-dir>/torch_ref_outputs.npz (the torch mirror's
+    f32 canonical/fov/inv on CPU). Use when the saved reference is gone but
+    the f32 JAX side is unchanged, so a bf16/f16 policy change can re-run
+    tpu-e2e without paying the full stages-f32 pass."""
+    import math
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    import torch_ref
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    cfg, _ = load_checkpoint(args.checkpoint, dtype=np.float32, parts=("head",))
+    img_np, _src = load_inputs(args.image, cfg.img_size)
+
+    t0 = time.time()
+    flat = {k: torch.from_numpy(np.asarray(v)) for k, v in
+            _read_flat(args.checkpoint).items()}
+    tm = torch_ref.DepthPro(cfg)
+    missing, unexpected = tm.load_state_dict(flat, strict=False)
+    if missing:
+        raise SystemExit(f"torch mirror missing keys: {missing[:10]}")
+    print(f"[torch] loaded ({len(unexpected)} unused ckpt keys) "
+          f"in {time.time()-t0:.0f}s", flush=True)
+    tm = tm.float().eval()
+    del flat
+
+    x = torch.from_numpy(img_np).permute(0, 3, 1, 2)
+    t0 = time.time()
+    with torch.no_grad():
+        encodings = tm.encoder(x)
+        features, lowres = tm.decoder(encodings)
+        canonical = tm.head(features)[:, 0]
+        fov_deg = tm.fov(x, lowres)
+        f_norm = torch.tan(0.5 * fov_deg * math.pi / 180.0) / 0.5
+        inv = (canonical / f_norm.reshape(-1, 1, 1)).clamp(1e-4, 1e4)
+    print(f"[torch] forward in {time.time()-t0:.0f}s", flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(args.out_dir, "torch_ref_outputs.npz"),
+        canonical=canonical.numpy(), fov_deg=fov_deg.numpy(),
+        inv=inv.numpy())
+    print(json.dumps({"mode": "torch-ref",
+                      "fov_deg": float(fov_deg.numpy().ravel()[0])}))
+
+
 def _emit(args, report):
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, f"{report['mode']}.json")
@@ -233,8 +299,14 @@ def _emit(args, report):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["stages-f32", "e2e-bf16", "tpu-e2e"])
+    ap.add_argument("mode", choices=["stages-f32", "e2e-bf16", "tpu-e2e",
+                                     "torch-ref"])
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f16", "f32"])
+    ap.add_argument("--quantize-weights", default="none",
+                    choices=["none", "bf16", "f16"],
+                    help="tpu-e2e only: round-trip weights through this "
+                         "dtype before running (isolates weight-rounding "
+                         "error from compute error)")
     ap.add_argument("--checkpoint", default="/tmp/ckpt_full/depth_pro.pt")
     ap.add_argument("--image", default="/tmp/ckpt_full/photo.jpg")
     ap.add_argument("--out-dir", default="/tmp/parity")
@@ -243,6 +315,8 @@ def main():
         run_stages_f32(args)
     elif args.mode == "tpu-e2e":
         run_tpu_e2e(args)
+    elif args.mode == "torch-ref":
+        run_torch_ref(args)
     else:
         run_e2e_bf16(args)
 
