@@ -38,14 +38,19 @@ from matrix_eyes_tpu.pt.convert import PARTS, convert_state_dict, infer_config
 from matrix_eyes_tpu.pt.pickle_reader import read_pt_state_dict
 
 
+def _stem(checkpoint_path: str) -> str:
+    """Cache-file stem next to the REAL checkpoint file: a symlinked .pt
+    (common for large checkpoints on shared storage) must find and write
+    the same caches as the target path, not orphan them next to the link."""
+    return os.path.splitext(os.path.realpath(checkpoint_path))[0]
+
+
 def _cache_path(checkpoint_path: str, part: str) -> str:
-    stem, _ = os.path.splitext(checkpoint_path)
-    return f"{stem}-{part}.npz"
+    return f"{_stem(checkpoint_path)}-{part}.npz"
 
 
 def _config_cache_path(checkpoint_path: str) -> str:
-    stem, _ = os.path.splitext(checkpoint_path)
-    return f"{stem}-config.json"
+    return f"{_stem(checkpoint_path)}-config.json"
 
 
 def save_part_cache(path: str, part_params: Any, cache_dtype=np.float16) -> None:
@@ -111,14 +116,17 @@ def _place_part(part_params: Any, dtype) -> Any:
     Through a remote device relay, each ``jnp.asarray(leaf)`` is a
     dispatch round-trip (~0.5 s); a ViT-L part has ~400 leaves, so
     per-leaf placement turns a ~60 s upload into ~20 minutes. Same-dtype
-    leaves are concatenated into one blob on the host, uploaded once, and
-    sliced/reshaped/cast on device (the packed-cache trick, generalised
-    and lossless for any source dtype)."""
+    leaves are concatenated into blobs on the host, uploaded in a handful
+    of transfers, and sliced/reshaped/cast on device (the packed-cache
+    trick, generalised and lossless for any source dtype). Blobs are
+    capped at ~1 GB: a single multi-GB device_put (the f32 encoder part
+    is 2.4 GB) failed UNAVAILABLE through the relay."""
     import jax.lax as lax
 
     leaves, treedef = jax.tree.flatten(part_params)
     if not leaves:
         return jax.tree.unflatten(treedef, [])
+    max_blob = int(os.environ.get("MATRIX_EYES_MAX_UPLOAD_BYTES", 1 << 30))
     by_dtype: Dict[Any, list] = {}
     order = []
     for leaf in leaves:
@@ -129,26 +137,39 @@ def _place_part(part_params: Any, dtype) -> Any:
 
     unpacked: Dict[Any, list] = {}
     for dt, arrs in by_dtype.items():
-        blob = np.concatenate([a.ravel() for a in arrs])
-        meta = []
-        off = 0
+        chunks: list = []
+        cur, cur_bytes = [], 0
         for a in arrs:
-            meta.append((off, int(a.size), a.shape))
-            off += int(a.size)
-        meta = tuple(meta)
-        dev = jax.device_put(blob)
+            if cur and cur_bytes + a.nbytes > max_blob:
+                chunks.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(a)
+            cur_bytes += a.nbytes
+        chunks.append(cur)
 
-        @partial(jax.jit, static_argnames=())
-        def unpack(b, meta=meta):
-            return [lax.slice(b, (o,), (o + s,)).reshape(shape).astype(dtype)
-                    for o, s, shape in meta]
+        out: list = []
+        for chunk in chunks:
+            blob = np.concatenate([a.ravel() for a in chunk])
+            meta = []
+            off = 0
+            for a in chunk:
+                meta.append((off, int(a.size), a.shape))
+                off += int(a.size)
+            meta = tuple(meta)
+            dev = jax.device_put(blob)
 
-        unpacked[dt] = unpack(dev)
+            @partial(jax.jit, static_argnames=())
+            def unpack(b, meta=meta):
+                return [lax.slice(b, (o,), (o + s,)).reshape(shape).astype(dtype)
+                        for o, s, shape in meta]
+
+            out.extend(unpack(dev))
+        unpacked[dt] = out
     return jax.tree.unflatten(treedef, [unpacked[dt][i] for dt, i in order])
 
 
 def _packed_paths(checkpoint_path: str, part: str) -> Tuple[str, str]:
-    stem, _ = os.path.splitext(checkpoint_path)
+    stem = _stem(checkpoint_path)
     return f"{stem}-{part}.packed.npy", f"{stem}-{part}.packed.json"
 
 

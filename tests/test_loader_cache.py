@@ -199,3 +199,45 @@ def test_replaced_checkpoint_invalidates_caches(ckpt, tmp_path):
     a = np.asarray(jax.tree.leaves(p1["head"])[0], np.float32)
     b = np.asarray(jax.tree.leaves(p2["head"])[0], np.float32)
     assert not np.allclose(a, b), "stale cached weights served after .pt replacement"
+
+
+def test_place_part_chunks_large_uploads(monkeypatch):
+    # The blob uploads are capped (a single multi-GB device_put failed
+    # UNAVAILABLE through the device relay); chunked placement must be
+    # exactly equivalent to one-blob placement.
+    from matrix_eyes_tpu.pt.loader import _place_part
+
+    rng = np.random.RandomState(0)
+    tree = {f"w{i}": rng.randn(7, 11).astype(np.float32) for i in range(9)}
+    tree["half"] = rng.randn(13).astype(np.float16)
+    monkeypatch.setenv("MATRIX_EYES_MAX_UPLOAD_BYTES", "600")  # ~2 leaves/blob
+    placed = _place_part(tree, jnp.float32)
+    for k, v in tree.items():
+        np.testing.assert_allclose(np.asarray(placed[k], np.float32),
+                                   v.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+
+def test_symlinked_checkpoint_shares_caches(ckpt, tmp_path):
+    # Caches live next to the REAL .pt: loading through a symlink must hit
+    # the same caches instead of silently reconverting on every run.
+    import shutil
+
+    real_dir = tmp_path / "real"
+    link_dir = tmp_path / "link"
+    os.makedirs(real_dir), os.makedirs(link_dir)
+    real = str(real_dir / "m.pt")
+    shutil.copy(ckpt, real)
+    link = str(link_dir / "m.pt")
+    os.symlink(real, link)
+
+    _, p1 = load_checkpoint(real, dtype=jnp.float32, convert_checkpoints=True)
+    assert os.path.exists(str(real_dir / "m-head.npz"))
+
+    # loading via the symlink finds them (and writes nothing next to the link)
+    _, p2 = load_checkpoint(link, dtype=jnp.float32, convert_checkpoints=True)
+    assert not any(f != "m.pt" for f in os.listdir(link_dir))
+    # p1 is fresh from the f32 .pt; p2 went through the f16 on-disk cache
+    # convention -- equal up to one f16 rounding
+    a = np.asarray(jax.tree.leaves(p1["head"])[0], np.float32)
+    b = np.asarray(jax.tree.leaves(p2["head"])[0], np.float32)
+    np.testing.assert_array_equal(a.astype(np.float16), b.astype(np.float16))
