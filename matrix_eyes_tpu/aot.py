@@ -35,6 +35,10 @@ import jax
 _live: Dict[str, Any] = {}
 _fingerprint_memo: str | None = None
 _prefetched: Dict[str, Future] = {}
+# prefetched-but-never-consumed futures (a prefix's other signature
+# variants, stale fingerprints) would otherwise pin deserialized
+# executables for the life of the process; cap with FIFO eviction
+_PREFETCH_CAP = 32
 
 
 def prefetch_async(name_prefixes: Sequence[str], per_prefix: int = 2) -> None:
@@ -72,6 +76,8 @@ def prefetch_async(name_prefixes: Sequence[str], per_prefix: int = 2) -> None:
             if key not in _prefetched:
                 _prefetched[key] = ex.submit(_load, key)
     ex.shutdown(wait=False)
+    while len(_prefetched) > _PREFETCH_CAP:
+        _prefetched.pop(next(iter(_prefetched)))
 
 
 def enabled() -> bool:

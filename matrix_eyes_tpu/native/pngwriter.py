@@ -108,6 +108,7 @@ class PngEncoder:
             raise OSError("native PNG encoder unavailable")
         self._lib = lib
         self._path = path
+        self._width = width
         self._handle = lib.mepng_begin(path.encode(), width, height,
                                        level, filter, threads)
         if not self._handle:
@@ -116,6 +117,12 @@ class PngEncoder:
     def write_rows(self, rows: np.ndarray) -> None:
         """rows: (n, W, 3) u8, C-contiguous. Enqueues and returns."""
         rows = np.ascontiguousarray(rows, np.uint8)
+        # the C side only counts rows; a wrong width would over-read the
+        # buffer (nrows * encoder-width bytes from an nrows * rows-width
+        # allocation) -- validate here where the shape is known
+        if rows.ndim != 3 or rows.shape[1] != self._width or rows.shape[2] != 3:
+            raise ValueError(
+                f"write_rows expects (n, {self._width}, 3) u8, got {rows.shape}")
         rc = self._lib.mepng_write_rows(
             self._handle, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             rows.shape[0])
@@ -131,6 +138,15 @@ class PngEncoder:
         output.rs:173-185) and compresses. Requires filter None."""
         shift = np.ascontiguousarray(shift, np.uint8)
         noise = np.ascontiguousarray(noise, np.uint8)
+        if shift.ndim != 2 or shift.shape[1] != self._width:
+            raise ValueError(
+                f"write_stereo_rows expects shift (n, {self._width}), "
+                f"got {shift.shape}")
+        if (noise.ndim != 3 or noise.shape[0] != shift.shape[0]
+                or noise.shape[1] != pattern_width or noise.shape[2] != 3):
+            raise ValueError(
+                f"write_stereo_rows expects noise ({shift.shape[0]}, "
+                f"{pattern_width}, 3), got {noise.shape}")
         rc = self._lib.mepng_write_stereo_rows(
             self._handle,
             shift.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -144,6 +160,13 @@ class PngEncoder:
         handle, self._handle = self._handle, None
         rc = self._lib.mepng_end(handle)
         if rc != 0:
+            # a truncated/CRC-broken file may be left at the destination
+            # (disk full, stripe deflate failure); remove it rather than
+            # hand downstream consumers a corrupt PNG
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
             raise OSError(f"mepng_end failed ({rc}) for {self._path}")
 
     def abort(self) -> None:

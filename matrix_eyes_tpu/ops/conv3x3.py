@@ -134,7 +134,15 @@ def _pick_rows(W: int, cin: int, cout: int, itemsize: int,
         return None
 
     r = pick(n_skips)
-    if n_skips == 1 and itemsize <= 2 and pick(0) == 4:
+    # The single-skip rows=4 admission is probe-validated only at the
+    # bf16 768x256 config; extend it exactly to shapes that config
+    # DOMINATES elementwise (every footprint term monotonically smaller).
+    # Near-frontier shapes outside that envelope (e.g. W~780 from a
+    # non-default ModelConfig) keep the conservative structural pick --
+    # over-admitting there risks a runtime scoped-VMEM compile error that
+    # conv3x3_supported claimed could not happen.
+    if (n_skips == 1 and itemsize <= 2 and pick(0) == 4 and (r or 0) < 4
+            and W <= 768 and cin <= 256 and cout <= 256):
         r = 4  # single skip measured ~free at the rows=4 class (see above)
     return r
 

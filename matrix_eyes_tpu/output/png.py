@@ -30,18 +30,6 @@ STEREOGRAM = {"level": 1, "filter": pngwriter.FILTER_NONE}
 DEPTH_MAP = {"level": 6, "filter": pngwriter.FILTER_PAETH}
 
 
-def save_png(rgb: np.ndarray, path: str, *, level: int = 6,
-             filter: int = pngwriter.FILTER_PAETH) -> None:
-    """Encode one host-resident RGB8 array. Native when available, PIL
-    fallback with the nearest settings."""
-    try:
-        if pngwriter.encode(np.asarray(rgb), path, level=level, filter=filter):
-            return
-    except OSError as e:
-        raise OutputError(f"Image error: {e}") from e
-    _pil_save(np.asarray(rgb), path, level)
-
-
 def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
                       filter: int = pngwriter.FILTER_NONE) -> None:
     """Encode an image that lives on device as a sequence of row bands

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -39,10 +40,25 @@ from matrix_eyes_tpu.pt.pickle_reader import read_pt_state_dict
 
 
 def _stem(checkpoint_path: str) -> str:
-    """Cache-file stem next to the REAL checkpoint file: a symlinked .pt
-    (common for large checkpoints on shared storage) must find and write
-    the same caches as the target path, not orphan them next to the link."""
-    return os.path.splitext(os.path.realpath(checkpoint_path))[0]
+    """Cache-file stem for derived caches.
+
+    Prefer the REAL checkpoint location: a symlinked .pt (common for large
+    checkpoints on shared storage) must find and write the same caches as
+    the target path, not orphan them next to the link.  Fall back to the
+    link-side stem when the real location already has no caches and is not
+    writable (read-only shared storage), or when caches written by earlier
+    versions live next to the link.
+    """
+    link_stem = os.path.splitext(os.path.abspath(checkpoint_path))[0]
+    real_stem = os.path.splitext(os.path.realpath(checkpoint_path))[0]
+    if real_stem == link_stem:
+        return real_stem
+    if os.path.exists(real_stem + "-config.json"):
+        return real_stem
+    if os.path.exists(link_stem + "-config.json"):
+        return link_stem
+    real_dir = os.path.dirname(real_stem) or "."
+    return real_stem if os.access(real_dir, os.W_OK) else link_stem
 
 
 def _cache_path(checkpoint_path: str, part: str) -> str:
@@ -283,6 +299,35 @@ def _load_config_cache(path: str) -> ModelConfig:
     return ModelConfig(**d)
 
 
+def _save_cache_nonfatal(write, what: str) -> None:
+    """Run a cache-writing thunk; on OSError warn and continue.  Cache
+    files are an optimization -- a read-only checkpoint directory (shared
+    storage where even os.access lies for root on an EROFS mount) must
+    degrade to converting on every run, not crash the load."""
+    try:
+        write()
+    except OSError as e:
+        print(f"warning: could not write {what}: {e} "
+              "(continuing without caching)", file=sys.stderr)
+
+
+def _purge_caches(checkpoint_path: str) -> None:
+    """Remove every derived cache for ``checkpoint_path`` (all parts, not
+    just the ones being loaded).  Called when the .pt was replaced in
+    place: reconverting only the requested parts and then re-stamping the
+    config cache would otherwise leave the OTHER parts' caches -- from the
+    old checkpoint, but matching the new stamp -- to be trusted silently
+    by a later load."""
+    stem = _stem(checkpoint_path)
+    for part in PARTS:
+        for path in (f"{stem}-{part}.npz", f"{stem}-{part}.packed.npy",
+                     f"{stem}-{part}.packed.json"):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
 def _caches_stale(checkpoint_path: str) -> bool:
     """True if the .pt on disk no longer matches the (size, mtime) stamp
     recorded in the config cache at convert time -- i.e. the checkpoint was
@@ -324,6 +369,8 @@ def load_checkpoint(
     """
     flat: Optional[Dict[str, np.ndarray]] = None
     stale = _caches_stale(checkpoint_path)
+    if stale and convert_checkpoints:
+        _purge_caches(checkpoint_path)
 
     def read_flat() -> Dict[str, np.ndarray]:
         nonlocal flat
@@ -367,7 +414,9 @@ def load_checkpoint(
                 # (both store the f16 convention, so nothing is lost);
                 # all host-side until the single placement upload
                 pnp = _read_part_cache_np(cpath, spec[part])
-                save_packed_cache(checkpoint_path, part, pnp)
+                _save_cache_nonfatal(
+                    lambda: save_packed_cache(checkpoint_path, part, pnp),
+                    f"packed cache for '{part}'")
                 out[part] = _place_part(pnp, dtype)
             else:
                 out[part] = load_part_cache(cpath, spec[part], dtype)
@@ -385,13 +434,19 @@ def load_checkpoint(
             if convert_checkpoints:
                 if progress is not None:
                     progress.update_message(f"caching converted {part}")
-                save_part_cache(_cache_path(checkpoint_path, part), converted[part])
-                save_packed_cache(checkpoint_path, part, converted[part])
+                _save_cache_nonfatal(
+                    lambda: (save_part_cache(_cache_path(checkpoint_path, part),
+                                             converted[part]),
+                             save_packed_cache(checkpoint_path, part,
+                                               converted[part])),
+                    f"weight caches for '{part}'")
             out[part] = _place_part(converted[part], dtype)
         if convert_checkpoints:
-            d = dataclasses.asdict(cfg)
-            d["pt_stat"] = _pt_stat(checkpoint_path)
-            with open(_config_cache_path(checkpoint_path), "w") as f:
-                json.dump(d, f, indent=1)
+            def write_config():
+                d = dataclasses.asdict(cfg)
+                d["pt_stat"] = _pt_stat(checkpoint_path)
+                with open(_config_cache_path(checkpoint_path), "w") as f:
+                    json.dump(d, f, indent=1)
+            _save_cache_nonfatal(write_config, "config cache")
 
     return cfg, {part: out[part] for part in parts}

@@ -241,3 +241,55 @@ def test_symlinked_checkpoint_shares_caches(ckpt, tmp_path):
     a = np.asarray(jax.tree.leaves(p1["head"])[0], np.float32)
     b = np.asarray(jax.tree.leaves(p2["head"])[0], np.float32)
     np.testing.assert_array_equal(a.astype(np.float16), b.astype(np.float16))
+
+
+def test_partial_parts_refresh_purges_other_caches(ckpt, tmp_path):
+    # Replacing the .pt and reconverting only SOME parts must not leave the
+    # other parts' caches (from the old checkpoint) stamped as fresh.
+    import shutil
+    import time
+
+    d = str(tmp_path / "partial")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    _, old = load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=99)
+    torch.save(tm.state_dict(), path)
+    now = time.time() + 10
+    os.utime(path, (now, now))
+
+    # Reconvert only the head (EXIF-focal runs never touch fov)
+    load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True,
+                    parts=("encoder", "decoder", "head"))
+    # A later full load must serve NEW fov weights, not the old cache
+    _, new = load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+    a = np.asarray(jax.tree.leaves(old["fov"])[0], np.float32)
+    b = np.asarray(jax.tree.leaves(new["fov"])[0], np.float32)
+    assert not np.allclose(a, b), "stale fov cache survived a partial refresh"
+
+
+def test_readonly_checkpoint_dir_degrades_gracefully(ckpt, tmp_path):
+    # A read-only real location (shared storage) must not crash conversion:
+    # caches land next to the (writable) symlink instead.
+    import shutil
+    import stat
+
+    ro_dir = tmp_path / "ro"
+    link_dir = tmp_path / "rw"
+    os.makedirs(ro_dir), os.makedirs(link_dir)
+    real = str(ro_dir / "m.pt")
+    shutil.copy(ckpt, real)
+    os.chmod(ro_dir, stat.S_IRUSR | stat.S_IXUSR)
+    try:
+        if os.access(str(ro_dir), os.W_OK):  # running as root: chmod is moot
+            pytest.skip("cannot make a directory read-only for this user")
+        link = str(link_dir / "m.pt")
+        os.symlink(real, link)
+        _, p = load_checkpoint(link, dtype=jnp.float32, convert_checkpoints=True)
+        assert jax.tree.leaves(p["head"])
+        assert os.path.exists(str(link_dir / "m-config.json"))
+        assert not os.path.exists(str(ro_dir / "m-config.json"))
+    finally:
+        os.chmod(ro_dir, stat.S_IRWXU)
