@@ -134,6 +134,10 @@ def _key(name: str, args: Sequence[Any], salt: str) -> str:
         # settings (e.g. the Pallas-conv kill switch having no effect)
         os.environ.get("MATRIX_EYES_NO_PALLAS_CONV", ""),
         os.environ.get("XLA_FLAGS", ""),
+        # trace-time matmul precision (configure_matmul_precision sets
+        # HIGHEST for f32-on-TPU): an executable compiled under one
+        # precision regime must not be replayed under another
+        str(jax.config.jax_default_matmul_precision),
         jax.__version__,
         getattr(dev, "device_kind", "?"),
         getattr(dev.client, "platform", "?"),

@@ -48,6 +48,9 @@ class MatrixEyes:
             dtype = parse_dtype(dtype)
         self.runtime = RuntimeConfig(dtype=dtype, seed=seed,
                                      flash_attention=flash_attention)
+        from matrix_eyes_tpu.config import configure_matmul_precision
+
+        configure_matmul_precision(self.runtime.resolved_dtype())
         self.cfg, self.params = load_checkpoint(
             checkpoint_path,
             dtype=self.runtime.resolved_dtype(),

@@ -148,6 +148,24 @@ def default_compute_dtype() -> jnp.dtype:
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def configure_matmul_precision(dtype) -> None:
+    """Make ``--dtype f32`` actually mean f32 on TPU.
+
+    XLA's DEFAULT precision computes an f32 dot on the MXU by rounding
+    both inputs to bf16 (one pass) -- exactly the weight/matmul-input
+    rounding regime the bf16 error attribution measured (~1.3-1.5 % mean
+    canonical error; docs/PARITY_RESULTS.md). The documented
+    reference-grade path must instead use the multi-pass bf16
+    decomposition (precision HIGHEST, true-f32 results). Half-precision
+    runs keep DEFAULT: their matmul inputs are already bf16/f16.
+
+    Applied process-globally at pipeline/session entry (the AOT cache
+    keys on the setting, so cached executables never cross regimes).
+    """
+    if jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
 _DTYPE_NAMES = {
     "f32": jnp.float32,
     "float32": jnp.float32,

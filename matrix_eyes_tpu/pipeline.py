@@ -77,8 +77,10 @@ def extract_depth(
             source_path, focal_length_35mm)
         f_norm = src.f_norm()
         from matrix_eyes_tpu import aot
+        from matrix_eyes_tpu.config import configure_matmul_precision
 
         rt_dtype = runtime.resolved_dtype()
+        configure_matmul_precision(rt_dtype)
 
         def pre(rgb):
             return preprocess_image.__wrapped__(rgb, cfg.img_size, rt_dtype)

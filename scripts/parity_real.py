@@ -141,10 +141,15 @@ def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False,
     import jax
     import jax.numpy as jnp
 
+    from matrix_eyes_tpu.config import configure_matmul_precision
     from matrix_eyes_tpu.models import depth_pro
     from matrix_eyes_tpu.models import fov as fov_mod
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
+    # f32 on TPU must mean true f32 (multi-pass MXU decomposition), both
+    # for the product's reference-grade path and so the weight-quantisation
+    # probe isolates weight rounding with exact compute
+    configure_matmul_precision(dtype)
     _, params = load_checkpoint(checkpoint, dtype=dtype)
     if quantize_weights is not None:
         params = jax.tree.map(

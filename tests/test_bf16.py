@@ -47,3 +47,23 @@ def test_f16_path_runs():
     img = rng.uniform(-1, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(np.float16)
     inv = depth_pro.forward_with_fnorm(cfg, params, jnp.asarray(img), jnp.float32(0.7))
     assert np.isfinite(np.asarray(inv)).all()
+
+
+def test_f32_dtype_sets_highest_matmul_precision(monkeypatch):
+    # XLA's DEFAULT precision rounds f32 matmul inputs to bf16 on the MXU;
+    # the reference-grade --dtype f32 path must request the true-f32
+    # multi-pass decomposition. Half-precision dtypes leave it alone.
+    from matrix_eyes_tpu.config import configure_matmul_precision
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        jax.config.update("jax_default_matmul_precision", None)
+        configure_matmul_precision(jnp.bfloat16)
+        assert jax.config.jax_default_matmul_precision is None
+        configure_matmul_precision(jnp.float16)
+        assert jax.config.jax_default_matmul_precision is None
+        configure_matmul_precision(jnp.float32)
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
