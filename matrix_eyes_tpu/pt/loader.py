@@ -360,17 +360,27 @@ def load_checkpoint(
     parts: Sequence[str] = PARTS,
     progress=None,
     cfg: Optional[ModelConfig] = None,
+    use_caches: bool = True,
 ) -> Tuple[ModelConfig, Dict[str, Any]]:
     """Load (and possibly cache-convert) model parameters.
 
     Returns (cfg, params). The architecture is inferred from the checkpoint
     shapes unless ``cfg`` is given; with only cache files present, the
     config comes from ``<stem>-config.json``.
+
+    ``use_caches=False`` ignores every derived cache and loads straight
+    from the .pt, writing nothing -- the parity/attribution probes need
+    the checkpoint's own values at the requested dtype, not the f16
+    on-disk cache convention (a .pt-f32 -> cache-f16 -> runtime-dtype
+    round trip would fold cache rounding into what they measure).
     """
     flat: Optional[Dict[str, np.ndarray]] = None
-    stale = _caches_stale(checkpoint_path)
-    if stale and convert_checkpoints:
-        _purge_caches(checkpoint_path)
+    if not use_caches:
+        stale, convert_checkpoints = True, False
+    else:
+        stale = _caches_stale(checkpoint_path)
+        if stale and convert_checkpoints:
+            _purge_caches(checkpoint_path)
 
     def read_flat() -> Dict[str, np.ndarray]:
         nonlocal flat

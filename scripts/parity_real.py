@@ -65,8 +65,11 @@ def run_stages_f32(args):
     import torch_ref
 
     t0 = time.time()
+    # use_caches=False: torch loads the .pt's f32 values directly, so the
+    # JAX side must too -- routing through the f16 on-disk cache would
+    # fold cache rounding into the measured parity
     cfg, params = load_checkpoint(args.checkpoint, dtype=np.float32,
-                                  convert_checkpoints=True)
+                                  use_caches=False)
     print(f"[jax] params loaded in {time.time()-t0:.0f}s", flush=True)
 
     img_np, _src = load_inputs(args.image, cfg.img_size)
@@ -150,7 +153,10 @@ def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False,
     # for the product's reference-grade path and so the weight-quantisation
     # probe isolates weight rounding with exact compute
     configure_matmul_precision(dtype)
-    _, params = load_checkpoint(checkpoint, dtype=dtype)
+    # straight from the .pt: the probe quantifies RUNTIME dtype error, so
+    # the weights must be the checkpoint's f32 values cast once to
+    # ``dtype``, not the f16 cache convention's values
+    _, params = load_checkpoint(checkpoint, dtype=dtype, use_caches=False)
     if quantize_weights is not None:
         params = jax.tree.map(
             lambda a: a.astype(quantize_weights).astype(dtype), params)

@@ -293,3 +293,24 @@ def test_readonly_checkpoint_dir_degrades_gracefully(ckpt, tmp_path):
         assert not os.path.exists(str(ro_dir / "m-config.json"))
     finally:
         os.chmod(ro_dir, stat.S_IRWXU)
+
+
+def test_use_caches_false_bypasses_f16_convention(ckpt, tmp_path):
+    # Parity probes need the .pt's f32 values exactly, even when f16
+    # caches exist next to the checkpoint (and must not write any).
+    import shutil
+
+    d = str(tmp_path / "bypass")
+    os.makedirs(d)
+    path = os.path.join(d, "m.pt")
+    shutil.copy(ckpt, path)
+    load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+    before = sorted(os.listdir(d))
+
+    _, p = load_checkpoint(path, dtype=jnp.float32, use_caches=False,
+                           convert_checkpoints=True)
+    assert sorted(os.listdir(d)) == before, "use_caches=False wrote caches"
+    leaf = np.asarray(jax.tree.leaves(p["head"])[0], np.float32)
+    # f32 values that do NOT round-trip f16 exactly must survive
+    assert not np.array_equal(leaf, leaf.astype(np.float16).astype(np.float32)) \
+        or leaf.size < 4, "expected raw f32 values, got f16-rounded ones"
