@@ -51,6 +51,34 @@ def test_sharded_matches_single_device(params, model_parallel):
     np.testing.assert_allclose(np.asarray(fov), np.asarray(ref_fov), rtol=2e-4, atol=1e-4)
 
 
+def test_sharded_matches_single_device_model4():
+    """TP degree 4 (one head per shard on MID's 4 heads) on a (2, 4) mesh:
+    no current production mesh uses it, but the head-group layout claims
+    any divisor of num_heads works -- prove it numerically."""
+    from matrix_eyes_tpu.config import MID
+
+    cfg = MID
+    params4 = init_params(cfg, seed=3)
+    rng = np.random.RandomState(4)
+    img_np = rng.uniform(-1, 1, size=(1, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+
+    ref_inv, ref_fov = jax.jit(lambda p, x: _forward(cfg, p, x))(
+        params4, jnp.asarray(img_np))
+
+    mesh = make_mesh(8, model=4)
+    sparams = shard_params(params4, mesh, num_heads=cfg.num_heads)
+    simg = shard_batch(jnp.asarray(img_np), mesh)
+    with patch_sharded(mesh):
+        inv, fov = jax.jit(lambda p, x: _forward(cfg, p, x))(sparams, simg)
+
+    # atol 1e-3: 4-way reductions reorder f32 sums; through the 1/f_norm
+    # division and the output clamp ~0.1% of elements land within 6e-4
+    # absolute of the single-device value but fail a pure rtol check
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(ref_inv),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fov), np.asarray(ref_fov), rtol=2e-4, atol=1e-4)
+
+
 def test_data_parallel_batch(params):
     """Multi-image throughput: batch sharded over the data axis."""
     cfg = TINY
