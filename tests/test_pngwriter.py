@@ -137,3 +137,39 @@ def test_stereogram_bands_equal_full_image():
     assert [int(b.shape[0]) for b in bands] == [16, 16, 16, 2]
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(b) for b in bands], axis=0), full)
+
+
+def test_pil_fallback_when_native_unavailable(tmp_path, monkeypatch):
+    from matrix_eyes_tpu.output import png
+
+    monkeypatch.setattr(png.pngwriter, "available", lambda: False)
+    assert not png.split_supported()
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (30, 20, 3), np.uint8)
+    bands = [jnp.asarray(img[:17]), jnp.asarray(img[17:])]
+    p = str(tmp_path / "fallback.png")
+    png.save_device_bands(bands, p, **png.STEREOGRAM)
+    np.testing.assert_array_equal(_decode(p), img)
+
+
+def test_write_rows_width_mismatch_rejected(tmp_path):
+    # the C side only counts rows; a wrong width would over-read the buffer
+    rng = np.random.RandomState(7)
+    p = str(tmp_path / "w.png")
+    with pw.PngEncoder(p, 16, 8, level=1) as enc:
+        with pytest.raises(ValueError, match="expects"):
+            enc.write_rows(rng.randint(0, 256, (4, 8, 3), np.uint8))
+        enc.write_rows(rng.randint(0, 256, (8, 16, 3), np.uint8))
+
+
+def test_write_stereo_rows_shape_mismatch_rejected(tmp_path):
+    p = str(tmp_path / "s.png")
+    shift = np.zeros((4, 16), np.uint8)
+    noise = np.zeros((4, 5, 3), np.uint8)
+    with pw.PngEncoder(p, 16, 8, level=1) as enc:
+        with pytest.raises(ValueError, match="shift"):
+            enc.write_stereo_rows(np.zeros((4, 8), np.uint8), noise, 5)
+        with pytest.raises(ValueError, match="noise"):
+            enc.write_stereo_rows(shift, np.zeros((4, 6, 3), np.uint8), 5)
+        enc.write_stereo_rows(shift, noise, 5)
+        enc.write_stereo_rows(shift, noise, 5)
