@@ -50,8 +50,15 @@ def main() -> None:
     from matrix_eyes_tpu.pipeline import preprocess_image
 
     cfg = DEPTH_PRO
-    runtime = RuntimeConfig()
+    # BENCH_DTYPE=f32 times the reference-grade path (true-f32 matmul
+    # precision on TPU); default is the shipping config (bf16 on TPU)
+    from matrix_eyes_tpu.config import configure_matmul_precision, parse_dtype
+
+    bench_dtype = os.environ.get("BENCH_DTYPE")
+    runtime = RuntimeConfig(
+        dtype=parse_dtype(bench_dtype) if bench_dtype else None)
     dtype = runtime.resolved_dtype()
+    configure_matmul_precision(dtype)
     use_flash = runtime.use_flash_attention()
 
     params = jax.block_until_ready(init_params_fast(cfg, dtype=dtype))
