@@ -77,8 +77,8 @@ def forward(params: Params, encodings: List[jnp.ndarray]) -> Tuple[jnp.ndarray, 
     """Decoder forward (decoder.rs:153-208).
 
     ``params['convs']`` has one 3x3 projection per encoding except the
-    finest (len == len(encodings) - 1 when the finest level's width already
-    equals the decoder width, the production case).
+    finest, which the encoder already produces at decoder width (see
+    decoder_spec in models/spec.py).
     """
     convs = params["convs"]
     fusions = params["fusions"]
@@ -90,15 +90,10 @@ def forward(params: Params, encodings: List[jnp.ndarray]) -> Tuple[jnp.ndarray, 
     lowres_features = features
     features = feature_fusion_block(fusions[-1], features, None)
 
-    skip = 0 if len(convs) == len(fusions) else 1
     for i in range(len(encodings) - 2, -1, -1):
         enc = encodings[i]
-        if i - skip >= 0:
-            proj = convs[i - skip]
-            if proj["w"].ndim == 2:  # 1x1 projection (finest level, dims differ)
-                enc = nn.linear(enc, proj["w"])
-            else:
-                enc = nn.conv2d(enc, proj["w"], padding=1)
+        if i > 0:
+            enc = nn.conv2d(enc, convs[i - 1]["w"], padding=1)
         features = feature_fusion_block(fusions[i], features, enc)
 
     return features, lowres_features

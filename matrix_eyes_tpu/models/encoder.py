@@ -131,8 +131,11 @@ def forward_encodings(
     highres0, highres1 = (h[:n_patches] for h in highres)
 
     enc_grid = reshape_feature(cfg, encodings)
-    latent0 = merge(reshape_feature(cfg, highres0)[: batch_size * 25], batch_size, pad_hi)
-    latent1 = merge(reshape_feature(cfg, highres1)[: batch_size * 25], batch_size, pad_hi)
+    # highres intermediates come from the x0 patches only (the first n0
+    # of the pyramid batch, encoder.rs:266-280); n0 tracks the split
+    # geometry so a changed overlap divisor cannot desynchronise this
+    latent0 = merge(reshape_feature(cfg, highres0)[: n0], batch_size, pad_hi)
+    latent1 = merge(reshape_feature(cfg, highres1)[: n0], batch_size, pad_hi)
 
     x0_enc = enc_grid[:n0]
     x1_enc = enc_grid[n0 : n0 + n1]

@@ -95,11 +95,12 @@ def _rcu_spec(c: int):
 def decoder_spec(cfg: ModelConfig) -> Dict[str, Any]:
     dec = cfg.decoder_features
     dims = (dec,) + tuple(cfg.encoder_feature_dims)
-    convs = []
-    if dims[0] != dec:
-        convs.append({"w": _s((dims[0], dec))})  # 1x1 projection as matmul
-    for d in dims[1:]:
-        convs.append({"w": _s((3, 3, d, dec))})
+    # The finest level is produced at decoder width by construction (the
+    # latent0 upsample chain projects to ``dec``, encoder_spec above), so
+    # it never gets a projection conv -- the reference skips its 1x1 for
+    # the same reason (decoder.rs:123-139, "first conv skipped since
+    # 256 == 256"). One 3x3 projection per remaining level.
+    convs = [{"w": _s((3, 3, d, dec))} for d in dims[1:]]
     fusions = []
     for i in range(len(dims)):
         f = {

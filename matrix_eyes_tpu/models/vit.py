@@ -106,7 +106,8 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     # The residual carry x may be wider than the matmul compute dtype (the
     # f32-residual policy, see forward_features): branch inputs are cast to
     # the weights' dtype so every matmul stays on the MXU in bf16, while
-    # the adds/LayerScale below run in the carry dtype via promotion.
+    # the residual adds and LayerScale products run in the carry dtype
+    # (cast explicitly before the multiply).
     wdt = (p["qkv_gw"] if "qkv_gw" in p else p["qkv_w"]).dtype
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
     h = h.astype(wdt)
@@ -155,13 +156,16 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
             o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
             o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
     o = nn.linear(o, p["proj_w"], p["proj_b"])
-    x = x + o * p["ls1"]
+    # cast BEFORE the LayerScale multiply: under the f32-residual policy a
+    # bf16*bf16 product would round to bf16 before promotion into the f32
+    # carry, re-adding the per-block rounding the policy exists to remove
+    x = x + o.astype(x.dtype) * p["ls1"].astype(x.dtype)
 
     h = nn.layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)
     h = nn.linear(h.astype(wdt), p["fc1_w"], p["fc1_b"])
     h = nn.gelu(h)
     h = nn.linear(h, p["fc2_w"], p["fc2_b"])
-    return x + h * p["ls2"]
+    return x + h.astype(x.dtype) * p["ls2"].astype(x.dtype)
 
 
 def prepare_tokens(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:

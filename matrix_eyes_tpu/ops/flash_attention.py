@@ -175,12 +175,21 @@ def flash_supported_dtype(dtype) -> bool:
     return jnp.dtype(dtype) != jnp.float16
 
 
-def qkv_fusable(num_heads: int, head_dim: int) -> bool:
-    """True if heads can be grouped into lane-aligned (128-divisible)
-    feature blocks for attention_flash_qkv."""
+def _min_heads_per_block(num_heads: int, head_dim: int) -> int:
+    """Smallest head group whose feature width is lane-aligned (128-
+    divisible). The single source of this rule: the fusability gate and
+    both heads_per_block branches in attention_flash_qkv must agree, or
+    the gate admits configs the kernel then rejects at runtime."""
     hpb = 1
     while (hpb * head_dim) % 128 != 0 and hpb < num_heads:
         hpb += 1
+    return hpb
+
+
+def qkv_fusable(num_heads: int, head_dim: int) -> bool:
+    """True if heads can be grouped into lane-aligned (128-divisible)
+    feature blocks for attention_flash_qkv."""
+    hpb = _min_heads_per_block(num_heads, head_dim)
     return (hpb * head_dim) % 128 == 0 and num_heads % hpb == 0
 
 
@@ -219,11 +228,9 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     # measured <1% faster but sits at the VMEM cliff); 256 at f32 (a 512
     # cap was measured to OOM scoped vmem at 22.5 MB on the f32 FOV path).
     width_cap = 512 if jnp.dtype(qkv.dtype).itemsize <= 2 else 256
-    min_hpb = 1
-    while (min_hpb * D) % 128 != 0 and min_hpb < H:
-        min_hpb += 1
+    min_hpb = _min_heads_per_block(H, D)
     if heads_per_block:
-        hpb = heads_per_block
+        hpb = max(heads_per_block, 1)
         while (hpb * D) % 128 != 0 and hpb < H:
             hpb += 1
         # An explicit heads_per_block must obey the same VMEM budget the

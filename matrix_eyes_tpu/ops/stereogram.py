@@ -62,7 +62,12 @@ def _norm_depth(depth, out_h: int, out_w: int):
     dmax = jnp.max(depth)
     sampled = depthmap_bilinear_resample(depth, out_h, out_w)
     denom = dmax - dmin
-    return jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
+    out = jnp.where(denom > 0, (sampled - dmin) / denom, jnp.zeros_like(sampled))
+    # Two-tap f32 bilinear can land ~1e-7 above the row max
+    # (fl(w1*d) + fl(w2*d) > d), pushing shift = round(dnorm*dm) one past
+    # max_shift; the Pallas linker window then matches nothing and emits a
+    # black pixel. The reference's arithmetic never needs dnorm > 1.
+    return jnp.clip(out, 0.0, 1.0)
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w", "pw", "dm"))
@@ -88,7 +93,12 @@ def _synthesize(depth, key, out_h: int, out_w: int, pw: int, dm: float):
     noise_w = out_w if wide else pw
     noise = jax.random.randint(key, (out_h, noise_w, 3), 0, 256, dtype=jnp.uint8)
 
-    if not wide and jax.default_backend() == "tpu" and win <= 2048:
+    # Kernel VMEM footprint: double-buffered (W, 128) i32 shift + out tiles
+    # and a (pw, 128) noise tile, ~1024*(2W + pw) bytes -- wide outputs
+    # (panoramas, large resize scales) must take the pointer-doubling path
+    # rather than blow the ~16 MB scoped-VMEM budget at compile time.
+    fits_vmem = 1024 * (2 * out_w + pw) <= 14 * 1024 * 1024
+    if not wide and fits_vmem and jax.default_backend() == "tpu" and win <= 2048:
         from matrix_eyes_tpu.ops.stereogram_kernel import linker_scan_tpu
 
         return linker_scan_tpu(shift, noise, pw, win)

@@ -177,17 +177,16 @@ def _convert_encoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
 def _convert_decoder(ks: _KeySpace, cfg: ModelConfig) -> Dict[str, Any]:
     dec = cfg.decoder_features
     dims = (dec,) + tuple(cfg.encoder_feature_dims)
-    identity_at_0 = dims[0] == dec
-    # With the Identity at index 0 the real checkpoint's conv indices run
-    # 1..n (nn.ModuleList counts the Identity); a compact re-export runs
+    # The finest level is at decoder width by construction (the latent0
+    # upsample chain projects to ``dec``), so convs[0] is an Identity in
+    # the Apple layout and the real checkpoint's conv indices run 1..n
+    # (nn.ModuleList counts the Identity); a compact re-export runs
     # 0..n-1. Both conventions share middle indices, so detect by the
     # presence of the highest Apple-style index rather than per-key
     # fallbacks (which would silently grab the wrong neighbour).
-    apple_style = (not identity_at_0) or f"decoder.convs.{len(dims) - 1}.weight" in ks
-    offset = 1 if (identity_at_0 and apple_style) else 0
+    apple_style = f"decoder.convs.{len(dims) - 1}.weight" in ks
+    offset = 1 if apple_style else 0
     convs: List[Dict[str, Any]] = []
-    if not identity_at_0:
-        convs.append({"w": ks.take("decoder.convs.0.weight", transform=t_conv1x1)})
     for j in range(1, len(dims)):
         convs.append({"w": ks.take(f"decoder.convs.{j - 1 + offset}.weight",
                                    transform=t_conv)})
