@@ -173,3 +173,32 @@ def test_write_stereo_rows_shape_mismatch_rejected(tmp_path):
             enc.write_stereo_rows(shift, np.zeros((4, 6, 3), np.uint8), 5)
         enc.write_stereo_rows(shift, noise, 5)
         enc.write_stereo_rows(shift, noise, 5)
+
+
+def test_jpeg_output_routes_through_pil(tmp_path):
+    """Non-PNG image destinations (the reference saves whatever extension the
+    image crate knows, output.rs:100-121) fall through to the PIL save path;
+    a .jpg must decode as a real JPEG at the right size for both formats."""
+    from PIL import Image
+
+    from matrix_eyes_tpu.output.depthmap import DepthMap, ImageOutputFormat
+
+    # smooth ramp, not noise: JPEG error on noise would swamp the check
+    ramp = np.linspace(1 / 250, 1 / 0.1, 32 * 32, dtype=np.float32)
+    inv = jnp.asarray(ramp.reshape(32, 32))
+    dm = DepthMap.new(inv, original_size=(60, 48))
+
+    p1 = str(tmp_path / "depth.jpg")
+    dm.output_image(p1, source_path="", image_format=ImageOutputFormat.DEPTH_MAP)
+    with Image.open(p1) as im:
+        assert im.format == "JPEG" and im.size == (60, 48)
+        # JPEG is lossy: check the image is close to the exact render
+        got = np.asarray(im.convert("RGB")).astype(np.int16)
+    want = dm.render_depth_map().astype(np.int16)
+    assert np.mean(np.abs(got - want)) < 8.0
+
+    p2 = str(tmp_path / "stereo.jpg")
+    dm.output_image(p2, source_path="",
+                    image_format=ImageOutputFormat.STEREOGRAM, seed=7)
+    with Image.open(p2) as im:
+        assert im.format == "JPEG" and im.size == (60, 48)
