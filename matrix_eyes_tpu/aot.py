@@ -155,9 +155,12 @@ def _load(key: str):
     try:
         from jax.experimental import serialize_executable as se
 
-        with open(path, "rb") as f:
-            payload, in_tree, out_tree = pickle.load(f)
-        return se.deserialize_and_load(payload, in_tree, out_tree)
+        from matrix_eyes_tpu import timings
+
+        with timings.span("aot deserialize"):
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            return se.deserialize_and_load(payload, in_tree, out_tree)
     except Exception:
         # stale/corrupt/incompatible entry: drop it and recompile
         try:

@@ -275,7 +275,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         pb.finish_and_clear()
         print(f"Reconstruction failed: {err}")
         return 1
-    pb.finish_and_clear()
+    finally:
+        # Stage wall-clock table (MATRIX_EYES_TIMINGS=1): the warm-start
+        # numbers in docs/PERFORMANCE.md regenerate from this.
+        pb.finish_and_clear()
+        from matrix_eyes_tpu import timings
+
+        timings.report()
     return 0
 
 

@@ -73,8 +73,11 @@ def extract_depth(
     # before the error propagates to main's exit(1)).
     pl_pre.update_message("loading source image")
     try:
-        src = source if source is not None else load_source_image(
-            source_path, focal_length_35mm)
+        from matrix_eyes_tpu import timings
+
+        with timings.span("decode source image"):
+            src = source if source is not None else load_source_image(
+                source_path, focal_length_35mm)
         f_norm = src.f_norm()
         from matrix_eyes_tpu import aot
         from matrix_eyes_tpu.config import configure_matmul_precision
@@ -85,8 +88,9 @@ def extract_depth(
         def pre(rgb):
             return preprocess_image.__wrapped__(rgb, cfg.img_size, rt_dtype)
 
-        img = aot.call_cached("preprocess", pre, (jnp.asarray(src.rgb),),
-                              salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
+        with timings.span("preprocess (device)"):
+            img = aot.call_cached("preprocess", pre, (jnp.asarray(src.rgb),),
+                                  salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
     except Exception as err:
         raise stage_error("Failed to load source image", err) from err
     pl_pre.report_status(1.0)
@@ -101,36 +105,42 @@ def extract_depth(
         from matrix_eyes_tpu import aot
 
         salt = f"{cfg!r}|flash={use_flash}"
-        if f_norm is not None:
-            def fwd_fnorm(p, im, f):
-                return depth_pro.forward_with_fnorm.__wrapped__(
-                    cfg, p, im, f, use_flash)
+        from matrix_eyes_tpu import timings
 
-            inverse_depth = aot.call_cached(
-                "fwd_fnorm", fwd_fnorm,
-                (params, img, jnp.float32(f_norm)), salt)[0]
-        else:
-            def fwd_fov(p, im):
-                return depth_pro.forward_with_fov.__wrapped__(cfg, p, im, use_flash)
+        with timings.span("model forward"):
+            if f_norm is not None:
+                def fwd_fnorm(p, im, f):
+                    return depth_pro.forward_with_fnorm.__wrapped__(
+                        cfg, p, im, f, use_flash)
 
-            inv, _fov_deg = aot.call_cached("fwd_fov", fwd_fov, (params, img), salt)
-            inverse_depth = inv[0]
-        depth_map = DepthMap.new(inverse_depth, src.original_size)
+                inverse_depth = aot.call_cached(
+                    "fwd_fnorm", fwd_fnorm,
+                    (params, img, jnp.float32(f_norm)), salt)[0]
+            else:
+                def fwd_fov(p, im):
+                    return depth_pro.forward_with_fov.__wrapped__(cfg, p, im, use_flash)
+
+                inv, _fov_deg = aot.call_cached("fwd_fov", fwd_fov, (params, img), salt)
+                inverse_depth = inv[0]
+            depth_map = DepthMap.new(inverse_depth, src.original_size)
     except Exception as err:
         raise stage_error("Failed to process image", err) from err
     pl_net.report_status(1.0)
 
     pl_out.update_message("writing output")
     try:
-        depth_map.output_image(
-            destination_path,
-            source_path,
-            image_format=image_format,
-            vertex_mode=vertex_mode,
-            resize_scale=resize_scale,
-            amplitude=stereo_amplitude,
-            seed=runtime.seed,
-        )
+        from matrix_eyes_tpu import timings
+
+        with timings.span("write output"):
+            depth_map.output_image(
+                destination_path,
+                source_path,
+                image_format=image_format,
+                vertex_mode=vertex_mode,
+                resize_scale=resize_scale,
+                amplitude=stereo_amplitude,
+                seed=runtime.seed,
+            )
     except Exception as err:
         raise stage_error("Failed to output result", err) from err
     pl_out.report_status(1.0)

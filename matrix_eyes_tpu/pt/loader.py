@@ -32,6 +32,7 @@ import ml_dtypes
 import jax
 import jax.numpy as jnp
 
+from matrix_eyes_tpu import timings
 from matrix_eyes_tpu.config import ModelConfig
 from matrix_eyes_tpu.errors import LoaderError
 from matrix_eyes_tpu.models.spec import param_spec
@@ -389,7 +390,8 @@ def load_checkpoint(
                 progress.update_message("reading checkpoint")
             if not os.path.exists(checkpoint_path):
                 raise LoaderError(f"PyTorch store error: {checkpoint_path}: no such file")
-            flat = read_pt_state_dict(checkpoint_path)
+            with timings.span("read .pt checkpoint"):
+                flat = read_pt_state_dict(checkpoint_path)
         return flat
 
     if cfg is None:
@@ -415,7 +417,8 @@ def load_checkpoint(
         if os.path.exists(ppath) and os.path.exists(pmanifest):
             if progress is not None:
                 progress.update_message(f"loading packed {part}")
-            out[part] = load_packed_cache(checkpoint_path, part, spec[part], dtype)
+            with timings.span(f"weights {part} -> device (packed)"):
+                out[part] = load_packed_cache(checkpoint_path, part, spec[part], dtype)
         elif os.path.exists(cpath):
             if progress is not None:
                 progress.update_message(f"loading cached {part}")
@@ -427,9 +430,11 @@ def load_checkpoint(
                 _save_cache_nonfatal(
                     lambda: save_packed_cache(checkpoint_path, part, pnp),
                     f"packed cache for '{part}'")
-                out[part] = _place_part(pnp, dtype)
+                with timings.span(f"weights {part} -> device"):
+                    out[part] = _place_part(pnp, dtype)
             else:
-                out[part] = load_part_cache(cpath, spec[part], dtype)
+                with timings.span(f"weights {part} -> device (npz)"):
+                    out[part] = load_part_cache(cpath, spec[part], dtype)
         else:
             uncached.append(part)
 
@@ -438,8 +443,9 @@ def load_checkpoint(
         # device placement is one blob upload per part (_place_part) -- a
         # per-leaf device round-trip here measured ~20 minutes through the
         # dev relay for the 0.95 B-parameter model
-        converted = convert_state_dict(cfg, read_flat(), dtype=dtype,
-                                       parts=tuple(uncached), device=False)
+        with timings.span("convert state dict (host)"):
+            converted = convert_state_dict(cfg, read_flat(), dtype=dtype,
+                                           parts=tuple(uncached), device=False)
         for part in uncached:
             if convert_checkpoints:
                 if progress is not None:
@@ -450,7 +456,8 @@ def load_checkpoint(
                              save_packed_cache(checkpoint_path, part,
                                                converted[part])),
                     f"weight caches for '{part}'")
-            out[part] = _place_part(converted[part], dtype)
+            with timings.span(f"weights {part} -> device"):
+                out[part] = _place_part(converted[part], dtype)
         if convert_checkpoints:
             def write_config():
                 d = dataclasses.asdict(cfg)
