@@ -51,17 +51,22 @@ def main() -> None:
 
     cfg = DEPTH_PRO
     # BENCH_DTYPE=f32 times the reference-grade path (true-f32 matmul
-    # precision on TPU); default is the shipping config (bf16 on TPU)
-    from matrix_eyes_tpu.config import configure_matmul_precision, parse_dtype
+    # precision on TPU); BENCH_DTYPE=int8 the quantized serving layout;
+    # default is the shipping config (bf16 on TPU)
+    from matrix_eyes_tpu.config import configure_matmul_precision, parse_dtype_policy
 
     bench_dtype = os.environ.get("BENCH_DTYPE")
-    runtime = RuntimeConfig(
-        dtype=parse_dtype(bench_dtype) if bench_dtype else None)
+    bd, bquant = parse_dtype_policy(bench_dtype) if bench_dtype else (None, False)
+    runtime = RuntimeConfig(dtype=bd, quantize_int8=bquant)
     dtype = runtime.resolved_dtype()
     configure_matmul_precision(dtype)
     use_flash = runtime.use_flash_attention()
 
     params = jax.block_until_ready(init_params_fast(cfg, dtype=dtype))
+    if bquant:
+        from matrix_eyes_tpu.ops.quant import quantize_params_device
+
+        params = jax.block_until_ready(quantize_params_device(params))
 
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     src_h, src_w = 3024, 4032  # typical 12MP photo

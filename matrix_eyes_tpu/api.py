@@ -24,7 +24,7 @@ from matrix_eyes_tpu.config import (
     ModelConfig,
     RuntimeConfig,
     enable_compilation_cache,
-    parse_dtype,
+    parse_dtype_policy,
 )
 from matrix_eyes_tpu.io.image import SourceImage, load_source_image
 from matrix_eyes_tpu.models import depth_pro
@@ -44,10 +44,12 @@ class MatrixEyes:
         cfg: Optional[ModelConfig] = None,
     ):
         enable_compilation_cache()
+        quantize_int8 = False
         if isinstance(dtype, str):
-            dtype = parse_dtype(dtype)
+            dtype, quantize_int8 = parse_dtype_policy(dtype)
         self.runtime = RuntimeConfig(dtype=dtype, seed=seed,
-                                     flash_attention=flash_attention)
+                                     flash_attention=flash_attention,
+                                     quantize_int8=quantize_int8)
         from matrix_eyes_tpu.config import configure_matmul_precision
 
         configure_matmul_precision(self.runtime.resolved_dtype())
@@ -56,6 +58,7 @@ class MatrixEyes:
             dtype=self.runtime.resolved_dtype(),
             convert_checkpoints=convert_checkpoints,
             cfg=cfg,
+            quantize_int8=quantize_int8,
         )
 
     # -- depth -------------------------------------------------------------

@@ -38,7 +38,7 @@ Options:
       --stereo-amplitude=<AMPLITUDE>      Custom scale for stereogram output [default: 0.0625]
       --mesh=<MESH>                       Mesh options [default: vertex-colors] [possible values: plain, vertex-colors, texture-coordinates]
       --convert-checkpoints               Convert checkpoints into a more efficient format [default: disabled]
-      --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16]
+      --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16, int8]
       --seed=<SEED>                       Stereogram noise seed [default: 0]
       --no-flash-attention                Disable the Pallas flash-attention kernel
       --profile=<DIR>                     Write a jax.profiler trace of the run to DIR
@@ -116,10 +116,10 @@ def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
             elif name == "--checkpoint-path":
                 args.checkpoint_path = value
             elif name == "--dtype":
-                from matrix_eyes_tpu.config import parse_dtype
+                from matrix_eyes_tpu.config import parse_dtype_policy
 
                 try:
-                    parse_dtype(value)
+                    parse_dtype_policy(value)
                 except ValueError as err:
                     raise _fail_usage(
                         f"Argument {name} has an unsupported value {value}: {err}",
@@ -152,7 +152,7 @@ def run(args: Args, progress=None) -> None:
     from matrix_eyes_tpu.config import (
         RuntimeConfig,
         enable_compilation_cache,
-        parse_dtype,
+        parse_dtype_policy,
     )
 
     enable_compilation_cache()
@@ -161,10 +161,12 @@ def run(args: Args, progress=None) -> None:
     from matrix_eyes_tpu.pipeline import extract_depth
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
+    dtype, quantize_int8 = parse_dtype_policy(args.dtype) if args.dtype else (None, False)
     runtime = RuntimeConfig(
-        dtype=parse_dtype(args.dtype) if args.dtype else None,
+        dtype=dtype,
         seed=args.seed,
         flash_attention=args.flash_attention,
+        quantize_int8=quantize_int8,
     )
 
     import os
@@ -227,6 +229,7 @@ def run(args: Args, progress=None) -> None:
         convert_checkpoints=args.convert_checkpoints,
         parts=parts,
         progress=progress,
+        quantize_int8=runtime.quantize_int8,
     )
     for src_path, out_path, src in jobs:
         extract_depth(

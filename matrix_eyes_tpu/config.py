@@ -180,7 +180,22 @@ def parse_dtype(name: str) -> jnp.dtype:
     try:
         return _DTYPE_NAMES[name.lower()]
     except KeyError:
-        raise ValueError(f"Unsupported dtype {name!r}; expected one of {sorted(_DTYPE_NAMES)}")
+        raise ValueError(
+            f"Unsupported dtype {name!r}; expected one of "
+            f"{sorted(_DTYPE_NAMES) + ['int8']}")
+
+
+def parse_dtype_policy(name: str):
+    """CLI dtype flag -> (compute dtype or None, quantize_int8).
+
+    ``int8`` is a quantization policy, not a compute dtype: activations,
+    norms and convolutions run in bf16 (the policy requires a TPU-style
+    half compute dtype) while the ViT block matmul weights are int8 on the
+    MXU (see ops/quant.py). Everything else maps through parse_dtype.
+    """
+    if name.lower() == "int8":
+        return jnp.bfloat16, True
+    return parse_dtype(name), False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,13 +207,27 @@ class RuntimeConfig:
         (output.rs:163) so its noise is not reproducible; we use
         ``jax.random`` with an explicit seed and document determinism.
     flash_attention: use the Pallas flash-attention kernel on TPU.
+    quantize_int8: opt-in int8 ViT weights (``--dtype int8``): block matmul
+        weights quantized per-output-channel to int8, activations per-token
+        dynamic, int8 x int8 -> int32 on the MXU (ops/quant.py). Requires a
+        half compute dtype (bf16).
     """
 
     dtype: Optional[jnp.dtype] = None
     seed: int = 0
     flash_attention: Optional[bool] = None  # None = auto (TPU only)
+    quantize_int8: bool = False
+
+    def __post_init__(self):
+        if self.quantize_int8 and self.dtype is not None \
+                and jnp.dtype(self.dtype) != jnp.bfloat16:
+            raise ValueError(
+                "quantize_int8 requires the bf16 compute dtype "
+                f"(got {jnp.dtype(self.dtype).name})")
 
     def resolved_dtype(self) -> jnp.dtype:
+        if self.quantize_int8:
+            return jnp.bfloat16
         return self.dtype if self.dtype is not None else default_compute_dtype()
 
     def use_flash_attention(self) -> bool:

@@ -108,10 +108,56 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     # the weights' dtype so every matmul stays on the MXU in bf16, while
     # the residual adds and LayerScale products run in the carry dtype
     # (cast explicitly before the multiply).
-    wdt = (p["qkv_gw"] if "qkv_gw" in p else p["qkv_w"]).dtype
+    quantized = "qkv_qw" in p
+    if quantized:
+        # int8 mode: the weights are int8, the activation compute dtype is
+        # carried by the (unquantized) norm parameters.
+        wdt = p["norm1_scale"].dtype
+    else:
+        wdt = (p["qkv_gw"] if "qkv_gw" in p else p["qkv_w"]).dtype
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
     h = h.astype(wdt)
     from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
+
+    if quantized:
+        # int8 path (opt-in --dtype int8): qkv/fc1 run int8 on the MXU with
+        # per-token dynamic activation quantization; proj/fc2 are
+        # weight-only (dequantized here -- quantizing their activations
+        # measured net-negative, ops/quant.py header). The qkv output is in
+        # the compute dtype, so the flash kernel path below is unchanged.
+        from matrix_eyes_tpu.ops.quant import dequantize_weight, qlinear
+
+        qkv = qlinear(h, p["qkv_qw"], p["qkv_sw"], p["qkv_b"])
+        if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+            data_mesh = _flash_sharding(B)
+            if data_mesh not in (None, True):
+                from jax.sharding import PartitionSpec as P
+
+                from matrix_eyes_tpu.parallel.compat import shard_map
+
+                mesh, axis = data_mesh
+                o = shard_map(
+                    lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
+                    mesh=mesh, in_specs=(P(axis, None, None),),
+                    out_specs=P(axis, None, None), check_rep=False)(qkv)
+            else:
+                o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+        else:
+            q5 = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+            o = attention(q5[0], q5[1], q5[2], scale, use_flash=use_flash,
+                          n_valid=n_valid)
+            o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+        o = nn.linear(o, dequantize_weight(p["proj_qw"], p["proj_sw"], wdt),
+                      p["proj_b"])
+        x = x + o.astype(x.dtype) * p["ls1"].astype(x.dtype)
+
+        h = nn.layer_norm(x, p["norm2_scale"], p["norm2_bias"],
+                          cfg.layer_norm_eps)
+        h = qlinear(h.astype(wdt), p["fc1_qw"], p["fc1_sw"], p["fc1_b"])
+        h = nn.gelu(h)
+        h = nn.linear(h, dequantize_weight(p["fc2_qw"], p["fc2_sw"], wdt),
+                      p["fc2_b"])
+        return x + h.astype(x.dtype) * p["ls2"].astype(x.dtype)
 
     if "qkv_gw" in p:
         # head-group-major TP layout (parallel.sharding._tp_permute_qkv):

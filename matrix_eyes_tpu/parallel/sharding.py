@@ -188,7 +188,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
     def walk(p, path=()):
         if isinstance(p, dict):
-            if "qkv_w" in p or "qkv_gw" in p:  # stacked vit blocks
+            if "qkv_w" in p or "qkv_gw" in p or "qkv_qw" in p:  # stacked vit blocks
                 block_specs = _vit_block_specs()
                 return {k: block_specs.get(k, P()) for k in p}
             return {k: walk(v, path + (k,)) for k, v in p.items()}
@@ -214,6 +214,14 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     """
     model_axes = [s for n, s in mesh.shape.items() if n != "data" and s > 1]
     k = model_axes[0] if len(model_axes) == 1 else 1
+    if k > 1:
+        leaves = [p for p in jax.tree_util.tree_leaves_with_path(params)
+                  if any(getattr(e, "key", None) == "qkv_qw" for e in p[0])]
+        if leaves:
+            raise NotImplementedError(
+                "int8-quantized parameters do not support tensor "
+                "parallelism (model axis > 1); use a pure data-parallel "
+                "mesh or float weights for TP")
     if k > 1 and num_heads is not None and num_heads % k == 0:
         def permute(p):
             if isinstance(p, dict):

@@ -126,7 +126,7 @@ def load_part_cache(path: str, part_spec: Any, dtype) -> Any:
     return _place_part(_read_part_cache_np(path, part_spec), dtype)
 
 
-def _place_part(part_params: Any, dtype) -> Any:
+def _place_part(part_params: Any, dtype, exact_dtypes: Tuple = ()) -> Any:
     """Device-place a host numpy parameter tree with ONE host->device
     transfer per distinct leaf dtype (not per leaf).
 
@@ -137,7 +137,11 @@ def _place_part(part_params: Any, dtype) -> Any:
     of transfers, and sliced/reshaped/cast on device (the packed-cache
     trick, generalised and lossless for any source dtype). Blobs are
     capped at ~1 GB: a single multi-GB device_put (the f32 encoder part
-    is 2.4 GB) failed UNAVAILABLE through the relay."""
+    is 2.4 GB) failed UNAVAILABLE through the relay.
+
+    Leaves whose dtype is in ``exact_dtypes`` keep it instead of casting to
+    ``dtype`` -- the int8-quantized trees carry int8 weights and f32 scales
+    that must survive placement as-is."""
     import jax.lax as lax
 
     leaves, treedef = jax.tree.flatten(part_params)
@@ -165,6 +169,7 @@ def _place_part(part_params: Any, dtype) -> Any:
         chunks.append(cur)
 
         out: list = []
+        target = dt if dt in tuple(np.dtype(e) for e in exact_dtypes) else dtype
         for chunk in chunks:
             blob = np.concatenate([a.ravel() for a in chunk])
             meta = []
@@ -176,8 +181,8 @@ def _place_part(part_params: Any, dtype) -> Any:
             dev = jax.device_put(blob)
 
             @partial(jax.jit, static_argnames=())
-            def unpack(b, meta=meta):
-                return [lax.slice(b, (o,), (o + s,)).reshape(shape).astype(dtype)
+            def unpack(b, meta=meta, target=target):
+                return [lax.slice(b, (o,), (o + s,)).reshape(shape).astype(target)
                         for o, s, shape in meta]
 
             out.extend(unpack(dev))
@@ -282,6 +287,193 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
     return jax.tree.unflatten(treedef, unpack(dev))
 
 
+def _read_packed_cache_np(checkpoint_path: str, part: str, part_spec: Any) -> Any:
+    """Read a packed f16 part cache into a host numpy tree (f16 leaves) --
+    the int8 quantization path needs host values, not a device upload."""
+    npy, manifest_path = _packed_paths(checkpoint_path, part)
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        entries = manifest["entries"]
+        if manifest.get("dtype", "float16") != "float16":
+            raise LoaderError(
+                f"packed cache {npy} has dtype {manifest.get('dtype')}, "
+                "expected float16 (stale cache? delete it to reconvert)")
+        blob = np.load(npy, mmap_mode="r")
+    except (OSError, ValueError, KeyError) as e:
+        raise LoaderError(
+            f"packed cache for '{part}' unreadable: {e} "
+            "(stale cache? delete it to reconvert)") from e
+    spec_leaves, treedef = jax.tree.flatten(part_spec)
+    if len(spec_leaves) != len(entries):
+        raise LoaderError(
+            f"packed cache {npy} has {len(entries)} tensors, model expects "
+            f"{len(spec_leaves)} (stale cache? delete it to reconvert)")
+    leaves = []
+    for e, want in zip(entries, spec_leaves):
+        if tuple(e["shape"]) != tuple(want.shape):
+            raise LoaderError(
+                f"packed cache {npy}: tensor shape {tuple(e['shape'])} != "
+                f"expected {tuple(want.shape)} (stale cache? delete it)")
+        seg = blob[e["offset"]:e["offset"] + e["size"]]
+        leaves.append(np.asarray(seg).view(np.float16).reshape(e["shape"]))
+    return jax.tree.unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# packed8: mixed-dtype packed caches for the int8-quantized layout.
+# One byte blob per part, grouped into per-dtype REGIONS (int8 weights, f32
+# scales, f16-convention float leaves), plus a manifest. The warm int8 load
+# is a single mmap + one device upload per region (<=3), each in the
+# region's NATIVE dtype, unpacked by same-width slice/reshape on device.
+#
+# Why regions instead of interleaved leaves (the v1 format): uploading one
+# u8 blob and widening u8 pairs/quads into f16/f32 on device requires
+# reshape(-1, 2|4) intermediates, and a 2-wide u8 array on TPU pads its
+# minor dim to the 128-lane tile -- XLA's slice/reshape simplifier turned
+# the per-leaf slices into ONE whole-blob reshape whose padded allocation
+# was 64x the data (41.8 GB for the 653 MB encoder; a real compile failure).
+# Native-dtype region uploads need no bitcasts at all.
+
+_PACKED8_SCHEME = "vit-int8-v2"
+_PACKED8_ALIGN = 64  # region starts are 64-byte aligned for host .view()
+
+_REGION_NP = {"int8": np.int8, "float32": np.float32, "float16": np.float16}
+
+
+def _packed8_paths(checkpoint_path: str, part: str) -> Tuple[str, str]:
+    stem = _stem(checkpoint_path)
+    return f"{stem}-{part}.packed8.npy", f"{stem}-{part}.packed8.json"
+
+
+def save_packed8_cache(checkpoint_path: str, part: str, part_params: Any) -> None:
+    """Write an int8-quantized part as one region-grouped byte blob + manifest.
+
+    Leaves are stored in their exact dtypes: int8 weights as-is, f32
+    scales as-is, other float leaves in the f16 on-disk convention. Each
+    leaf's manifest entry records its region and element offset/size within
+    that region (tree order is preserved per region and overall)."""
+    leaves = jax.tree.leaves(part_params)
+    regions: Dict[str, list] = {"int8": [], "float32": [], "float16": []}
+    offs = {k: 0 for k in regions}
+    entries = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if a.dtype == np.int8:
+            rd = "int8"
+        elif a.dtype == np.float32:
+            rd = "float32"
+        elif np.issubdtype(a.dtype, np.floating) or a.dtype == ml_dtypes.bfloat16:
+            a = a.astype(np.float16)
+            rd = "float16"
+        else:
+            raise LoaderError(
+                f"packed8 cache: unsupported leaf dtype {a.dtype} in '{part}'")
+        flat = np.ascontiguousarray(a).ravel()
+        entries.append({"shape": list(a.shape), "dtype": rd,
+                        "offset": offs[rd], "size": int(flat.size)})
+        regions[rd].append(flat)
+        offs[rd] += int(flat.size)
+    parts_u8 = []
+    region_meta = {}
+    byte_off = 0
+    for rd in ("int8", "float32", "float16"):
+        if not regions[rd]:
+            continue
+        pad = -byte_off % _PACKED8_ALIGN
+        if pad:
+            parts_u8.append(np.zeros(pad, np.uint8))
+            byte_off += pad
+        r = np.concatenate(regions[rd]).view(np.uint8)
+        region_meta[rd] = {"offset": byte_off, "size": int(r.size)}
+        parts_u8.append(r)
+        byte_off += int(r.size)
+    blob = np.concatenate(parts_u8) if parts_u8 else np.zeros((0,), np.uint8)
+    npy, manifest = _packed8_paths(checkpoint_path, part)
+    tmp = npy + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, blob)
+    os.replace(tmp, npy)
+    with open(manifest + ".tmp", "w") as f:
+        json.dump({"scheme": _PACKED8_SCHEME, "regions": region_meta,
+                   "entries": entries}, f)
+    os.replace(manifest + ".tmp", manifest)
+
+
+def load_packed8_cache(checkpoint_path: str, part: str, qpart_spec: Any,
+                       dtype) -> Any:
+    """Load an int8-quantized part: mmap the byte blob, one device upload
+    per dtype region (in the region's native dtype), slice/reshape on
+    device. ``qpart_spec`` is the quantized spec (ops.quant.quantize_spec)
+    the entries are validated against."""
+    npy, manifest_path = _packed8_paths(checkpoint_path, part)
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("scheme") != _PACKED8_SCHEME:
+            raise LoaderError(
+                f"packed8 cache {npy} has scheme {manifest.get('scheme')!r}, "
+                f"this loader reads {_PACKED8_SCHEME!r}")
+        entries = manifest["entries"]
+        region_meta = manifest["regions"]
+        blob = np.load(npy, mmap_mode="r")
+    except (OSError, ValueError, KeyError) as e:
+        raise LoaderError(
+            f"packed8 cache for '{part}' unreadable: {e} "
+            "(stale cache? delete it to reconvert)") from e
+    spec_leaves, treedef = jax.tree.flatten(qpart_spec)
+    if len(spec_leaves) != len(entries):
+        raise LoaderError(
+            f"packed8 cache {npy} has {len(entries)} tensors, model expects "
+            f"{len(spec_leaves)} (stale cache? delete it to reconvert)")
+    for e, want in zip(entries, spec_leaves):
+        # shape must match exactly; dtype is validated by CLASS only (int8
+        # where the quantized spec says int8, a float region elsewhere):
+        # the float region is the writer's choice -- f32 for the scales,
+        # the f16 on-disk convention for everything else -- while the spec
+        # (models.spec.param_spec) declares all float leaves f32.
+        want_int8 = jnp.dtype(want.dtype) == jnp.int8
+        if (tuple(e["shape"]) != tuple(want.shape)
+                or (e["dtype"] == "int8") != want_int8
+                or e["dtype"] not in _REGION_NP):
+            raise LoaderError(
+                f"packed8 cache {npy}: tensor {tuple(e['shape'])}/{e['dtype']} "
+                f"!= expected {tuple(want.shape)}"
+                f"/{'int8' if want_int8 else 'float'} (stale cache? delete it)")
+    ends = {}
+    for e in entries:
+        ends[e["dtype"]] = max(ends.get(e["dtype"], 0), e["offset"] + e["size"])
+    if blob.dtype != np.uint8 or set(ends) != set(region_meta) or any(
+            region_meta[rd]["offset"] % np.dtype(_REGION_NP[rd]).itemsize
+            or ends[rd] * np.dtype(_REGION_NP[rd]).itemsize != region_meta[rd]["size"]
+            or region_meta[rd]["offset"] + region_meta[rd]["size"] > blob.size
+            for rd in ends):
+        raise LoaderError(f"packed8 cache {npy} is corrupt (delete it to reconvert)")
+
+    devs = {}
+    for rd, meta in region_meta.items():
+        o, s = meta["offset"], meta["size"]
+        host = np.asarray(blob[o:o + s]).view(_REGION_NP[rd])
+        devs[rd] = jax.device_put(host)
+
+    import jax.lax as lax
+
+    shapes = tuple((e["offset"], e["size"], tuple(e["shape"]), e["dtype"])
+                   for e in entries)
+
+    @jax.jit
+    def unpack(regions):
+        out = []
+        for off, size, shape, rd in shapes:
+            x = lax.slice(regions[rd], (off,), (off + size,)).reshape(shape)
+            if rd == "float16":  # f16 on-disk convention -> runtime dtype
+                x = x.astype(dtype)
+            out.append(x)
+        return out
+
+    return jax.tree.unflatten(treedef, unpack(devs))
+
+
 def _pt_stat(checkpoint_path: str):
     try:
         st = os.stat(checkpoint_path)
@@ -322,7 +514,8 @@ def _purge_caches(checkpoint_path: str) -> None:
     stem = _stem(checkpoint_path)
     for part in PARTS:
         for path in (f"{stem}-{part}.npz", f"{stem}-{part}.packed.npy",
-                     f"{stem}-{part}.packed.json"):
+                     f"{stem}-{part}.packed.json", f"{stem}-{part}.packed8.npy",
+                     f"{stem}-{part}.packed8.json"):
             try:
                 os.remove(path)
             except OSError:
@@ -362,6 +555,7 @@ def load_checkpoint(
     progress=None,
     cfg: Optional[ModelConfig] = None,
     use_caches: bool = True,
+    quantize_int8: bool = False,
 ) -> Tuple[ModelConfig, Dict[str, Any]]:
     """Load (and possibly cache-convert) model parameters.
 
@@ -374,7 +568,18 @@ def load_checkpoint(
     the checkpoint's own values at the requested dtype, not the f16
     on-disk cache convention (a .pt-f32 -> cache-f16 -> runtime-dtype
     round trip would fold cache rounding into what they measure).
+
+    ``quantize_int8=True`` returns the int8-quantized parameter layout
+    (ops/quant.py): ViT block weights int8 + f32 scales, everything else in
+    ``dtype`` (must be bf16). Quantization happens on the host so the
+    device upload is the int8 blob (~half the f16 bytes); with
+    ``convert_checkpoints`` the quantized layout is cached as
+    ``<stem>-<part>.packed8.*`` and warm runs mmap + upload it directly.
     """
+    if quantize_int8 and jnp.dtype(dtype) != jnp.bfloat16:
+        raise LoaderError(
+            f"quantize_int8 requires the bf16 compute dtype, got "
+            f"{jnp.dtype(dtype).name}")
     flat: Optional[Dict[str, np.ndarray]] = None
     if not use_caches:
         stale, convert_checkpoints = True, False
@@ -406,6 +611,10 @@ def load_checkpoint(
             cfg = infer_config(read_flat())
 
     spec = param_spec(cfg, include_fov="fov" in parts)
+    if quantize_int8:
+        from matrix_eyes_tpu.ops.quant import quantize_params, quantize_spec
+
+        qspec = quantize_spec(spec)
     out: Dict[str, Any] = {}
     uncached = []
     for part in parts:
@@ -413,6 +622,43 @@ def load_checkpoint(
         ppath, pmanifest = _packed_paths(checkpoint_path, part)
         if stale:
             uncached.append(part)
+            continue
+        if quantize_int8:
+            p8npy, p8man = _packed8_paths(checkpoint_path, part)
+            if os.path.exists(p8npy) and os.path.exists(p8man):
+                if progress is not None:
+                    progress.update_message(f"loading packed int8 {part}")
+                try:
+                    with timings.span(f"weights {part} -> device (packed int8)"):
+                        out[part] = load_packed8_cache(
+                            checkpoint_path, part, qspec[part], dtype)
+                    continue
+                except LoaderError as e:
+                    # e.g. an old-scheme cache: fall through and re-quantize
+                    # from the float caches (rewritten below when
+                    # convert_checkpoints is set)
+                    print(f"Warning: {e}; re-quantizing from float caches",
+                          file=sys.stderr)
+            host = None
+            if os.path.exists(ppath) and os.path.exists(pmanifest):
+                host = _read_packed_cache_np(checkpoint_path, part, spec[part])
+            elif os.path.exists(cpath):
+                host = _read_part_cache_np(cpath, spec[part])
+            if host is None:
+                uncached.append(part)
+                continue
+            if progress is not None:
+                progress.update_message(f"quantizing {part}")
+            with timings.span(f"quantize {part} (host)"):
+                qhost = quantize_params(host)
+            if convert_checkpoints:
+                _save_cache_nonfatal(
+                    lambda part=part, qhost=qhost: save_packed8_cache(
+                        checkpoint_path, part, qhost),
+                    f"packed int8 cache for '{part}'")
+            with timings.span(f"weights {part} -> device (int8)"):
+                out[part] = _place_part(qhost, dtype,
+                                        exact_dtypes=(np.int8, np.float32))
             continue
         if os.path.exists(ppath) and os.path.exists(pmanifest):
             if progress is not None:
@@ -456,8 +702,20 @@ def load_checkpoint(
                              save_packed_cache(checkpoint_path, part,
                                                converted[part])),
                     f"weight caches for '{part}'")
-            with timings.span(f"weights {part} -> device"):
-                out[part] = _place_part(converted[part], dtype)
+            if quantize_int8:
+                with timings.span(f"quantize {part} (host)"):
+                    qhost = quantize_params(converted[part])
+                if convert_checkpoints:
+                    _save_cache_nonfatal(
+                        lambda part=part, qhost=qhost: save_packed8_cache(
+                            checkpoint_path, part, qhost),
+                        f"packed int8 cache for '{part}'")
+                with timings.span(f"weights {part} -> device (int8)"):
+                    out[part] = _place_part(qhost, dtype,
+                                            exact_dtypes=(np.int8, np.float32))
+            else:
+                with timings.span(f"weights {part} -> device"):
+                    out[part] = _place_part(converted[part], dtype)
         if convert_checkpoints:
             def write_config():
                 d = dataclasses.asdict(cfg)

@@ -50,6 +50,8 @@ def run_cli(args, env, timed: bool) -> tuple[float, dict, str]:
     cmd = [sys.executable, "-m", "matrix_eyes_tpu",
            f"--checkpoint-path={args.checkpoint}",
            "--image-output-format=stereogram",
+           *([f"--dtype={args.dtype}"] if args.dtype else []),
+           *(["--convert-checkpoints"] if args.convert_checkpoints else []),
            args.photo, args.out]
     t0 = time.perf_counter()
     p = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
@@ -67,6 +69,12 @@ def main() -> None:
     ap.add_argument("--photo", default="/tmp/ckpt_full/photo.jpg")
     ap.add_argument("--out", default="/dev/shm/warm_cli_out.png")
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--dtype", default=None,
+                    help="CLI --dtype (e.g. int8 to time the quantized "
+                         "layout's halved weight upload)")
+    ap.add_argument("--convert-checkpoints", action="store_true",
+                    help="pass --convert-checkpoints (writes/refreshes the "
+                         "weight caches on the warm-up run)")
     ap.add_argument("--skip-warmup", action="store_true",
                     help="caches known hot: skip the un-timed warm-up run")
     args = ap.parse_args()
@@ -94,6 +102,7 @@ def main() -> None:
         "metric": "warm_cli_full_size_wall_clock",
         "value": round(wall, 2),
         "unit": "s",
+        "dtype": args.dtype or "default",
         "stages": {k: round(v, 2) for k, v in stages.items()},
         # the tunnel/PCIe weight-upload floor vs everything else: the
         # software cost is what survives on a production host

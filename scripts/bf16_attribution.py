@@ -148,12 +148,20 @@ def main():
         noflash  plain bf16 pipeline with XLA attention instead of the
                  Pallas flash kernel: the kernel's own contribution
                  (exp2 softmax etc.) -- the f32 reference is flash-off.
+        int8     the opt-in --dtype int8 layout (ops/quant.py): ViT block
+                 weights int8 per-channel, qkv/proj/fc1 activations
+                 per-token int8 on the MXU, everything else bf16.
         """
         if probe == "a32":
             p = jax.tree.map(lambda a: a.astype(jnp.float32), cast16)
             return run(p, jnp.float32, use_flash=False)
         if probe == "noflash":
             return run(cast16, jnp.bfloat16, use_flash=False)
+        if probe == "int8":
+            from matrix_eyes_tpu.ops.quant import quantize_params_device
+
+            return run(quantize_params_device(cast16), jnp.bfloat16,
+                       use_flash=True)
         raise SystemExit(f"unknown probe {probe}")
 
     probes = sys.argv[1:] or ["none", "head", "decoder", "dec_head"]

@@ -1,0 +1,219 @@
+"""Int8 quantized ViT path (ops/quant.py, --dtype int8).
+
+The reference has no quantized mode (Burn f32/f16/bf16 only,
+reconstruction.rs:15-20); this is the TPU-native int8-MXU extension.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from matrix_eyes_tpu.config import TINY, RuntimeConfig
+from matrix_eyes_tpu.models import depth_pro, init, vit
+from matrix_eyes_tpu.models.spec import param_spec
+from matrix_eyes_tpu.ops import quant
+
+import torch_ref
+
+
+def test_quantize_weight_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 32, 16)) * 0.05, jnp.float32)
+    qw, sw = quant.quantize_weight(w)
+    assert qw.dtype == jnp.int8 and qw.shape == w.shape
+    assert sw.dtype == jnp.float32 and sw.shape == (4, 16)
+    back = np.asarray(qw, np.float32) * np.asarray(sw)[:, None, :]
+    # symmetric per-channel: error bounded by scale/2 = amax/254
+    amax = np.abs(np.asarray(w)).max(axis=-2, keepdims=True)
+    assert (np.abs(back - np.asarray(w)) <= amax / 254 + 1e-9).all()
+
+
+def test_quantize_act_per_token():
+    x = jnp.asarray([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0]], jnp.float32)
+    q, s = quant.quantize_act(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 1)
+    np.testing.assert_array_equal(np.asarray(q)[0], [64, -127, 32])
+    np.testing.assert_array_equal(np.asarray(q)[1], [0, 0, 0])  # all-zero row safe
+
+
+def test_qlinear_close_to_linear():
+    from matrix_eyes_tpu.ops import nn
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 40, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 48)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(48,)) * 0.1, jnp.float32)
+    qw, sw = quant.quantize_weight(w)
+    y = np.asarray(quant.qlinear(x, qw, sw, b), np.float32)
+    want = np.asarray(nn.linear(x, w, b), np.float32)
+    # int8 x int8 with per-token/per-channel scales: ~1% relative on
+    # well-conditioned inputs
+    denom = np.maximum(np.abs(want), 1.0)
+    assert (np.abs(y - want) / denom).mean() < 0.01
+
+
+def test_quantize_params_matches_spec_and_device_variant():
+    params = init.init_params(TINY, seed=3, dtype=jnp.bfloat16)
+    host = jax.tree.map(np.asarray, params)
+    q_np = quant.quantize_params(host)
+    q_dev = quant.quantize_params_device(params)
+    qspec = quant.quantize_spec(param_spec(TINY))
+
+    leaves_np, tree_np = jax.tree.flatten(q_np)
+    leaves_dev, tree_dev = jax.tree.flatten(q_dev)
+    leaves_spec, tree_spec = jax.tree.flatten(qspec)
+    assert tree_np == tree_spec == tree_dev
+    for a, d, s in zip(leaves_np, leaves_dev, leaves_spec):
+        assert tuple(a.shape) == tuple(s.shape) == tuple(d.shape)
+        if jnp.dtype(s.dtype) == jnp.int8:  # quantized weights
+            assert jnp.dtype(a.dtype) == jnp.dtype(d.dtype) == jnp.int8
+    # the two variants quantize identically up to rounding-mode noise
+    for a, d in zip(leaves_np, leaves_dev):
+        if a.dtype == np.int8:
+            assert (np.abs(a.astype(np.int32) -
+                           np.asarray(d, np.int32)) <= 1).mean() == 1.0
+
+    # non-ViT parts untouched
+    assert "conv0_w" in q_np["head"] and q_np["head"]["conv0_w"].dtype != np.int8
+    blocks = q_np["encoder"]["patch_encoder"]["blocks"]
+    assert "qkv_w" not in blocks and blocks["qkv_qw"].dtype == np.int8
+    assert blocks["fc2_qw"].dtype == np.int8  # weight-only still stored int8
+
+
+def test_quantized_forward_close_to_float():
+    cfg = TINY
+    params = init.init_params(cfg, seed=5, dtype=jnp.float32)
+    qparams = quant.quantize_params_device(params)
+    img = jax.random.normal(jax.random.PRNGKey(0),
+                            (1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    inv, fov = jax.jit(lambda p, im: depth_pro.forward_with_fov(cfg, p, im, False))(
+        params, img)
+    inv_q, fov_q = jax.jit(lambda p, im: depth_pro.forward_with_fov(cfg, p, im, False))(
+        qparams, img)
+    assert inv_q.shape == inv.shape
+    a, b = np.asarray(inv, np.float32), np.asarray(inv_q, np.float32)
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-2)
+    assert rel.mean() < 0.15  # tiny random net: sanity bound, not a contract
+    assert np.isfinite(b).all()
+
+
+def test_runtime_config_rejects_non_bf16_quant():
+    with pytest.raises(ValueError):
+        RuntimeConfig(dtype=jnp.float32, quantize_int8=True)
+    rc = RuntimeConfig(quantize_int8=True)
+    assert rc.resolved_dtype() == jnp.bfloat16
+
+
+def test_parse_dtype_policy():
+    from matrix_eyes_tpu.config import parse_dtype_policy
+
+    assert parse_dtype_policy("int8") == (jnp.bfloat16, True)
+    assert parse_dtype_policy("bf16") == (jnp.bfloat16, False)
+    with pytest.raises(ValueError):
+        parse_dtype_policy("int4")
+
+
+def test_cli_accepts_int8():
+    from matrix_eyes_tpu.cli import parse_args
+
+    args = parse_args(["--dtype=int8", "a.jpg", "b.png"])
+    assert args.dtype == "int8"
+
+
+def test_shard_params_rejects_tp_with_quantized():
+    from matrix_eyes_tpu.parallel.sharding import make_mesh, shard_params
+
+    params = init.init_params(TINY, seed=7, dtype=jnp.bfloat16,
+                              include_fov=False)
+    qparams = quant.quantize_params_device(params)
+    mesh = make_mesh(4, model=2)
+    with pytest.raises(NotImplementedError):
+        shard_params(qparams, mesh, num_heads=TINY.num_heads)
+    # pure data-parallel replication is fine
+    shard_params(qparams, make_mesh(4, model=1))
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("quant_loader")
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=31)
+    path = str(d / "m.pt")
+    torch.save(tm.state_dict(), path)
+    return path
+
+
+def test_loader_quantize_and_packed8_roundtrip(ckpt, capsys):
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    cfg, p1 = load_checkpoint(ckpt, dtype=jnp.bfloat16, quantize_int8=True,
+                              convert_checkpoints=True)
+    blocks = p1["encoder"]["patch_encoder"]["blocks"]
+    assert blocks["qkv_qw"].dtype == jnp.int8
+    assert blocks["qkv_sw"].dtype == jnp.float32
+    assert blocks["norm1_scale"].dtype == jnp.bfloat16
+    stem = os.path.splitext(ckpt)[0]
+    assert os.path.exists(f"{stem}-encoder.packed8.npy")
+
+    # warm load straight from the packed8 cache: quantized leaves (int8
+    # weights, f32 scales) are stored exactly; other float leaves follow the
+    # f16 on-disk cache convention (mod.rs:211-227), like every other cache.
+    capsys.readouterr()
+    cfg2, p2 = load_checkpoint(ckpt, dtype=jnp.bfloat16, quantize_int8=True)
+    # ... and it must be the packed8 fast path, not a silent validation
+    # failure falling back to host re-quantization
+    assert "re-quantizing" not in capsys.readouterr().err
+    assert cfg2 == cfg
+    l1, t1 = jax.tree.flatten(p1)
+    l2, t2 = jax.tree.flatten(p2)
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        assert a.dtype == b.dtype
+        if a.dtype in (jnp.int8, jnp.float32):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            want = np.asarray(a, np.float32).astype(np.float16)
+            np.testing.assert_array_equal(want, np.asarray(b, np.float32).astype(np.float16))
+
+    # float load of the same checkpoint is unaffected by the int8 caches
+    _, pf = load_checkpoint(ckpt, dtype=jnp.bfloat16)
+    assert "qkv_w" in pf["encoder"]["patch_encoder"]["blocks"]
+
+
+def test_loader_stale_packed8_scheme_falls_back(ckpt, capsys):
+    """An old-scheme packed8 cache must not fail the warm load: the loader
+    warns, re-quantizes from the float caches, and (with convert) rewrites
+    the cache in the current scheme."""
+    import json
+
+    from matrix_eyes_tpu.pt import loader
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    # ensure caches exist, then damage one part's packed8 manifest scheme
+    load_checkpoint(ckpt, dtype=jnp.bfloat16, quantize_int8=True,
+                    convert_checkpoints=True)
+    _, man = loader._packed8_paths(ckpt, "head")
+    with open(man) as f:
+        d = json.load(f)
+    d["scheme"] = "vit-int8-v1"
+    with open(man, "w") as f:
+        json.dump(d, f)
+
+    _, p = load_checkpoint(ckpt, dtype=jnp.bfloat16, quantize_int8=True,
+                           convert_checkpoints=True)
+    assert "conv0_w" in p["head"]
+    assert "re-quantizing" in capsys.readouterr().err
+    with open(man) as f:
+        assert json.load(f)["scheme"] == loader._PACKED8_SCHEME
+
+
+def test_loader_rejects_non_bf16_quant(ckpt):
+    from matrix_eyes_tpu.errors import LoaderError
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    with pytest.raises(LoaderError):
+        load_checkpoint(ckpt, dtype=jnp.float32, quantize_int8=True)
