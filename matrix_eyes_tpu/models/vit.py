@@ -108,7 +108,7 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     # the weights' dtype so every matmul stays on the MXU in bf16, while
     # the residual adds and LayerScale products run in the carry dtype
     # (cast explicitly before the multiply).
-    quantized = "qkv_qw" in p
+    quantized = "qkv_qw" in p or "qkv_gqw" in p
     if quantized:
         # int8 mode: the weights are int8, the activation compute dtype is
         # carried by the (unquantized) norm parameters.
@@ -127,26 +127,45 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
         # the compute dtype, so the flash kernel path below is unchanged.
         from matrix_eyes_tpu.ops.quant import dequantize_weight, qlinear
 
-        qkv = qlinear(h, p["qkv_qw"], p["qkv_sw"], p["qkv_b"])
-        if use_flash and N % 128 == 0 and qkv_fusable(H, D):
-            data_mesh = _flash_sharding(B)
-            if data_mesh not in (None, True):
-                from jax.sharding import PartitionSpec as P
+        if "qkv_gqw" in p:
+            # head-group-major TP layout: the int8 columns (and their
+            # per-output-channel scales) were permuted together by
+            # parallel.sharding._tp_permute_qkv, so each model-axis shard
+            # computes the complete int8 qkv of its own head group; the
+            # dequantized output feeds the same per-shard attention path
+            # as the float TP layout.
+            from matrix_eyes_tpu.parallel.sharding import active_model_parallel
 
-                from matrix_eyes_tpu.parallel.compat import shard_map
-
-                mesh, axis = data_mesh
-                o = shard_map(
-                    lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
-                    mesh=mesh, in_specs=(P(axis, None, None),),
-                    out_specs=P(axis, None, None), check_rep=False)(qkv)
-            else:
-                o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+            tp_ctx = active_model_parallel()
+            if tp_ctx is None or H % tp_ctx[3] != 0:
+                raise ValueError(
+                    "TP-grouped quantized qkv parameters (qkv_gqw) require "
+                    "the matching model-parallel patch_sharded mesh context")
+            qkv = qlinear(h, p["qkv_gqw"], p["qkv_gsw"], p["qkv_gb"])
+            o = _attention_tp(qkv, tp_ctx, tp_ctx[3], H, D, scale, use_flash,
+                              n_valid)
         else:
-            q5 = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-            o = attention(q5[0], q5[1], q5[2], scale, use_flash=use_flash,
-                          n_valid=n_valid)
-            o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+            qkv = qlinear(h, p["qkv_qw"], p["qkv_sw"], p["qkv_b"])
+            if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+                data_mesh = _flash_sharding(B)
+                if data_mesh not in (None, True):
+                    from jax.sharding import PartitionSpec as P
+
+                    from matrix_eyes_tpu.parallel.compat import shard_map
+
+                    mesh, axis = data_mesh
+                    o = shard_map(
+                        lambda q: attention_flash_qkv(q, H, scale,
+                                                      n_valid=n_valid),
+                        mesh=mesh, in_specs=(P(axis, None, None),),
+                        out_specs=P(axis, None, None), check_rep=False)(qkv)
+                else:
+                    o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+            else:
+                q5 = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+                o = attention(q5[0], q5[1], q5[2], scale, use_flash=use_flash,
+                              n_valid=n_valid)
+                o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
         o = nn.linear(o, dequantize_weight(p["proj_qw"], p["proj_sw"], wdt),
                       p["proj_b"])
         x = x + o.astype(x.dtype) * p["ls1"].astype(x.dtype)
@@ -267,7 +286,7 @@ def forward_features(
         from matrix_eyes_tpu.ops.flash_attention import flash_supported_dtype, qkv_fusable
 
         use_flash = flash_supported_dtype(tokens.dtype)
-        if "qkv_gw" in params["blocks"]:
+        if "qkv_gw" in params["blocks"] or "qkv_gqw" in params["blocks"]:
             # tensor-parallel head-group layout (self-describing via the
             # key): the fused kernel runs per shard with H/k heads (see
             # _attention_tp); requires the per-shard geometry to be

@@ -124,7 +124,7 @@ def dequantize_weight(qw: jnp.ndarray, w_scale: jnp.ndarray, dtype) -> jnp.ndarr
 
 
 def is_quantized_blocks(blocks: Dict[str, Any]) -> bool:
-    return "qkv_qw" in blocks
+    return "qkv_qw" in blocks or "qkv_gqw" in blocks
 
 
 def quantize_vit_blocks_np(blocks: Dict[str, Any]) -> Dict[str, Any]:

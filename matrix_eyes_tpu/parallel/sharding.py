@@ -97,10 +97,19 @@ def active_model_parallel():
     return mesh, axis, others[0][0], others[0][1]
 
 
+# qkv keys whose LAST axis spans the [q|k|v] output features, and their
+# head-group-major renames. Covers both the float layout (qkv_w) and the
+# int8-quantized one (qkv_qw int8 weights + qkv_sw per-output-channel
+# scales -- the scales follow their columns through the permutation).
+_TP_QKV_RENAMES = {"qkv_w": "qkv_gw", "qkv_b": "qkv_gb",
+                   "qkv_qw": "qkv_gqw", "qkv_sw": "qkv_gsw"}
+
+
 def _tp_permute_qkv(blocks: Dict[str, Any], k: int) -> Dict[str, Any]:
     """Permute stacked-block qkv columns from [q|k|v] (heads contiguous in
     each section) to head-group-major [q_0|k_0|v_0|...|q_{k-1}|k_{k-1}|v_{k-1}],
-    renaming the keys to ``qkv_gw``/``qkv_gb``.
+    renaming the keys to ``qkv_gw``/``qkv_gb`` (``qkv_gqw``/``qkv_gsw``/
+    ``qkv_gb`` for the int8-quantized layout).
 
     Under Megatron TP the qkv weight's output axis is GSPMD-sharded in
     contiguous chunks; in the checkpoint's [q|k|v] layout those chunks mix
@@ -114,16 +123,18 @@ def _tp_permute_qkv(blocks: Dict[str, Any], k: int) -> Dict[str, Any]:
     never be silently misread as checkpoint-layout ones (jax interns equal
     Mesh objects, so a mesh-keyed registry could not provide that
     guarantee)."""
-    c3 = blocks["qkv_w"].shape[-1]
+    ref = blocks["qkv_qw"] if "qkv_qw" in blocks else blocks["qkv_w"]
+    c3 = ref.shape[-1]
     c = c3 // 3
     per = c // k
     idx = np.concatenate([
         np.concatenate([sec * c + g * per + np.arange(per) for sec in range(3)])
         for g in range(k)
     ])
-    out = {key: v for key, v in blocks.items() if key not in ("qkv_w", "qkv_b")}
-    out["qkv_gw"] = blocks["qkv_w"][..., idx]
-    out["qkv_gb"] = blocks["qkv_b"][..., idx]
+    out = {key: v for key, v in blocks.items() if key not in _TP_QKV_RENAMES}
+    for src, dst in _TP_QKV_RENAMES.items():
+        if src in blocks:
+            out[dst] = blocks[src][..., idx]
     return out
 
 
@@ -168,6 +179,21 @@ def _vit_block_specs() -> Dict[str, P]:
         "fc1_w": P(None, None, "model"),
         "fc1_b": P(None, "model"),
         "fc2_w": P(None, "model", None),
+        # int8-quantized layout (ops/quant.py): int8 weights shard exactly
+        # like their float counterparts; per-output-channel scales shard
+        # with the OUTPUT axis, so column-parallel scales are model-sharded
+        # while row-parallel ones (proj/fc2 shard their input axis) stay
+        # replicated.
+        "qkv_qw": P(None, None, "model"),
+        "qkv_sw": P(None, "model"),
+        "qkv_gqw": P(None, None, "model"),
+        "qkv_gsw": P(None, "model"),
+        "proj_qw": P(None, "model", None),
+        "proj_sw": P(),
+        "fc1_qw": P(None, None, "model"),
+        "fc1_sw": P(None, "model"),
+        "fc2_qw": P(None, "model", None),
+        "fc2_sw": P(),
     }
 
 
@@ -188,7 +214,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
     def walk(p, path=()):
         if isinstance(p, dict):
-            if "qkv_w" in p or "qkv_gw" in p or "qkv_qw" in p:  # stacked vit blocks
+            if any(k in p for k in ("qkv_w", "qkv_gw", "qkv_qw", "qkv_gqw")):  # stacked vit blocks
                 block_specs = _vit_block_specs()
                 return {k: block_specs.get(k, P()) for k in p}
             return {k: walk(v, path + (k,)) for k, v in p.items()}
@@ -214,18 +240,10 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     """
     model_axes = [s for n, s in mesh.shape.items() if n != "data" and s > 1]
     k = model_axes[0] if len(model_axes) == 1 else 1
-    if k > 1:
-        leaves = [p for p in jax.tree_util.tree_leaves_with_path(params)
-                  if any(getattr(e, "key", None) == "qkv_qw" for e in p[0])]
-        if leaves:
-            raise NotImplementedError(
-                "int8-quantized parameters do not support tensor "
-                "parallelism (model axis > 1); use a pure data-parallel "
-                "mesh or float weights for TP")
     if k > 1 and num_heads is not None and num_heads % k == 0:
         def permute(p):
             if isinstance(p, dict):
-                if "qkv_w" in p:
+                if "qkv_w" in p or "qkv_qw" in p:
                     return _tp_permute_qkv(p, k)
                 return {key: permute(v) for key, v in p.items()}
             return p

@@ -125,16 +125,126 @@ def test_cli_accepts_int8():
     assert args.dtype == "int8"
 
 
-def test_shard_params_rejects_tp_with_quantized():
+def test_quantized_tp_matches_single_device():
+    """int8 weights under tensor parallelism: shard_params permutes the
+    int8 qkv columns AND their per-output-channel scales to the
+    head-group-major layout (qkv_gqw/qkv_gsw), and the full sharded forward
+    must match the single-device quantized forward. Int8 matmuls accumulate
+    in int32 (deterministic under resharding); the tolerance covers the f32
+    reduction reorder of the row-parallel proj/fc2 all-reduces."""
+    from matrix_eyes_tpu.parallel.sharding import (
+        make_mesh,
+        patch_sharded,
+        shard_batch,
+        shard_params,
+    )
+
+    cfg = TINY
+    params = init.init_params(cfg, seed=7, dtype=jnp.float32)
+    qparams = quant.quantize_params_device(params)
+    rng = np.random.RandomState(8)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, cfg.img_size, cfg.img_size, 3))
+                      .astype(np.float32))
+
+    ref_inv, ref_fov = jax.jit(
+        lambda p, im: depth_pro.forward_with_fov.__wrapped__(cfg, p, im))(
+        qparams, img)
+
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(qparams, mesh, num_heads=cfg.num_heads)
+    blocks = sparams["encoder"]["patch_encoder"]["blocks"]
+    assert "qkv_gqw" in blocks and blocks["qkv_gqw"].dtype == jnp.int8
+    assert blocks["qkv_gsw"].dtype == jnp.float32
+    simg = shard_batch(img, mesh)
+    with patch_sharded(mesh):
+        inv, fov = jax.jit(
+            lambda p, im: depth_pro.forward_with_fov.__wrapped__(cfg, p, im))(
+            sparams, simg)
+
+    # rtol/atol sized for quantization-boundary chatter: a reordered f32
+    # sum can flip a per-token round() by one step, so a handful of
+    # elements legitimately move ~1e-4 relative (measured max abs 4e-3 at
+    # inverse depths ~20; mean rel ~1e-6)
+    a, b = np.asarray(ref_inv, np.float64), np.asarray(inv, np.float64)
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-3)
+    assert (np.abs(a - b) / np.maximum(np.abs(a), 1e-2)).mean() < 1e-4
+    np.testing.assert_allclose(np.asarray(fov), np.asarray(ref_fov),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_quantized_tp_flash_routing(monkeypatch):
+    """Under the registered TP mesh the quantized path must route attention
+    through the fused kernel per model-axis shard with H/k heads (same stub
+    strategy as test_parallel.py: interpret-mode Pallas deadlocks inside
+    shard_map on the virtual CPU mesh)."""
+    import dataclasses
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.ops import flash_attention
+    from matrix_eyes_tpu.parallel.sharding import (
+        make_mesh,
+        patch_sharded,
+        shard_params,
+    )
+
+    calls = []
+
+    def reference_qkv_attention(qkv, num_heads, scale, n_valid=None, **kw):
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        D = C // num_heads
+        calls.append((B, num_heads))
+        q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, N, num_heads, D)
+                   .transpose(0, 2, 1, 3) for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if n_valid is not None and n_valid < N:
+            s = jnp.where(jnp.arange(N)[None, None, None, :] >= n_valid,
+                          jnp.float32(-1e30), s)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    # smallest geometry whose per-shard head group is lane-alignable at
+    # k=2: H=8, D=32 -> H_loc=4, 4*32=128 features
+    cfg = dataclasses.replace(MID, embed_dim=256, num_heads=8)
+    full = init.init_params(cfg, seed=21)
+    qfull = quant.quantize_params_device(full)
+    p_ref = qfull["encoder"]["patch_encoder"]
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, cfg.vit_img_size, cfg.vit_img_size, 3))
+                    .astype(np.float32))
+    want, _ = vit.forward_features(cfg, p_ref, x, use_flash=False)
+
+    monkeypatch.setattr(flash_attention, "attention_flash_qkv",
+                        reference_qkv_attention)
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(qfull, mesh, num_heads=cfg.num_heads)
+    with patch_sharded(mesh):
+        got, _ = vit.forward_features(cfg, sparams["encoder"]["patch_encoder"],
+                                      x, use_flash=True)
+    assert calls and all(h == cfg.num_heads // 2 for _, h in calls), \
+        f"kernel should see per-shard head groups, saw {set(calls)}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_quantized_tp_grouped_params_require_mesh_context():
     from matrix_eyes_tpu.parallel.sharding import make_mesh, shard_params
 
     params = init.init_params(TINY, seed=7, dtype=jnp.bfloat16,
                               include_fov=False)
     qparams = quant.quantize_params_device(params)
-    mesh = make_mesh(4, model=2)
-    with pytest.raises(NotImplementedError):
-        shard_params(qparams, mesh, num_heads=TINY.num_heads)
-    # pure data-parallel replication is fine
+    mesh = make_mesh(8, model=2)
+    sparams = shard_params(qparams, mesh, num_heads=TINY.num_heads)
+    p = sparams["encoder"]["patch_encoder"]
+    assert "qkv_gqw" in p["blocks"]
+    x = jnp.zeros((1, TINY.vit_img_size, TINY.vit_img_size, 3), jnp.bfloat16)
+    from matrix_eyes_tpu.models import vit
+
+    with pytest.raises(ValueError, match="patch_sharded"):
+        vit.forward_features(cfg=TINY, params=p, x=x, use_flash=False)
+    # pure data-parallel replication needs no permute and no context
     shard_params(qparams, make_mesh(4, model=1))
 
 
