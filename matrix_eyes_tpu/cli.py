@@ -231,21 +231,47 @@ def run(args: Args, progress=None) -> None:
         progress=progress,
         quantize_int8=runtime.quantize_int8,
     )
-    for src_path, out_path, src in jobs:
-        extract_depth(
-            cfg,
-            params,
-            src_path,
-            out_path,
-            focal_length_35mm=args.focal_length,
-            image_format=ImageOutputFormat(args.output_format),
-            vertex_mode=VertexMode(args.vertex_mode),
-            resize_scale=args.resize_scale,
-            stereo_amplitude=args.stereo_amplitude,
-            runtime=runtime,
-            progress=progress,
-            source=src,
-        )
+    # Batch throughput: decode image k+1 on a worker thread while image k
+    # runs on the device (the reference is one image per process,
+    # main.rs:149-173; this overlap is free because host JPEG decode and
+    # device compute share nothing). JAX dispatch stays on this thread. If
+    # a prefetch fails, the job falls back to the pipeline's own decode so
+    # the error surfaces with the canonical per-stage message.
+    decode_pool = None
+    next_fut = None
+    if len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        decode_pool = ThreadPoolExecutor(max_workers=1,
+                                         thread_name_prefix="me-decode")
+    try:
+        for i, (src_path, out_path, src) in enumerate(jobs):
+            if next_fut is not None:
+                try:
+                    src = next_fut.result()
+                except Exception:
+                    src = None  # re-decoded (and re-raised) by the pipeline
+                next_fut = None
+            if decode_pool is not None and i + 1 < len(jobs):
+                next_fut = decode_pool.submit(
+                    load_source_image, jobs[i + 1][0], args.focal_length)
+            extract_depth(
+                cfg,
+                params,
+                src_path,
+                out_path,
+                focal_length_35mm=args.focal_length,
+                image_format=ImageOutputFormat(args.output_format),
+                vertex_mode=VertexMode(args.vertex_mode),
+                resize_scale=args.resize_scale,
+                stereo_amplitude=args.stereo_amplitude,
+                runtime=runtime,
+                progress=progress,
+                source=src,
+            )
+    finally:
+        if decode_pool is not None:
+            decode_pool.shutdown(wait=False, cancel_futures=True)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -225,6 +225,50 @@ def test_cli_batch_directory_mode(workdir, tmp_path):
     assert (outdir / "a.png").exists() and (outdir / "b.png").exists()
 
 
+def test_cli_batch_prefetch_matches_single(workdir, tmp_path):
+    """Batch mode decode-ahead (image k+1 decoded on a worker thread while
+    image k computes) must produce byte-identical outputs to one-image-per-
+    invocation runs."""
+    d, ckpt, src = workdir
+    import shutil
+
+    srcdir = tmp_path / "in_pf"
+    outdir = tmp_path / "out_pf"
+    srcdir.mkdir()
+    outdir.mkdir()
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        shutil.copy(src, str(srcdir / name))
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(outdir)])
+    assert rc == 0
+
+    single = tmp_path / "single_pf.png"
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir / "b.jpg"), str(single)])
+    assert rc == 0
+    assert (outdir / "b.png").read_bytes() == single.read_bytes()
+
+
+def test_cli_batch_prefetch_decode_error_is_canonical(workdir, tmp_path, capsys):
+    """A corrupt image decoded by the prefetch thread must fail with the
+    pipeline's own per-stage message (the prefetch falls back to an inline
+    decode so error reporting is unchanged)."""
+    d, ckpt, src = workdir
+    import shutil
+
+    srcdir = tmp_path / "in_bad"
+    outdir = tmp_path / "out_bad"
+    srcdir.mkdir()
+    outdir.mkdir()
+    shutil.copy(src, str(srcdir / "a.jpg"))
+    (srcdir / "b.jpg").write_bytes(b"not a jpeg")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(outdir)])
+    assert rc == 1
+    assert (outdir / "a.png").exists()  # first image still produced
+    assert "Failed to load source image" in capsys.readouterr().err
+
+
 def test_cli_batch_requires_out_directory(workdir, tmp_path):
     d, ckpt, src = workdir
     import shutil
