@@ -97,18 +97,19 @@ def main() -> None:
 
     wall, stages = min(results, key=lambda r: r[0])
     upload = sum(v for k, v in stages.items() if k.startswith("weights "))
-    software = sum(v for k, v in stages.items() if not k.startswith("weights "))
     print(json.dumps({
         "metric": "warm_cli_full_size_wall_clock",
         "value": round(wall, 2),
         "unit": "s",
         "dtype": args.dtype or "default",
         "stages": {k: round(v, 2) for k, v in stages.items()},
-        # the tunnel/PCIe weight-upload floor vs everything else: the
-        # software cost is what survives on a production host
+        # the tunnel/PCIe weight-upload floor vs everything else. Stage
+        # spans OVERLAP by design (AOT deserialize runs while weights
+        # upload; band transfers overlap PNG encode), so they are reported
+        # raw and must not be summed; the non-upload remainder is the
+        # wall-clock complement.
         "weight_upload_s": round(upload, 2),
-        "software_s": round(software, 2),
-        "untimed_s": round(wall - upload - software, 2),
+        "non_upload_s": round(max(wall - upload, 0.0), 2),
     }))
 
 

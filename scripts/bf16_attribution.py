@@ -9,6 +9,13 @@ stage whose promotion fixes the canonical tail.
 Run on the TPU:  PYTHONPATH=. python scripts/bf16_attribution.py [probe ...]
 Probes: none | head | decoder | dec_head | dec_last
 Emits one JSON line per result.
+
+By default the weights are seeded random at production scale (this
+sandbox's .pt is a random fixture anyway, docs/PARITY_RESULTS.md). With
+trained weights available, pass ``--checkpoint=<path.pt>`` (loads the
+checkpoint's own f32 values, bypassing the f16 cache convention) and
+optionally ``--image=<photo.jpg>`` to probe on a real photograph --
+docs/TRAINED_WEIGHTS_RUNBOOK.md step 5.
 """
 
 import json
@@ -37,15 +44,41 @@ def main():
     from matrix_eyes_tpu.models.init import init_params
 
     enable_compilation_cache()
-    cfg = DEPTH_PRO
+    ckpt = image = None
+    probes_argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--checkpoint="):
+            ckpt = a.split("=", 1)[1]
+        elif a.startswith("--image="):
+            image = a.split("=", 1)[1]
+        else:
+            probes_argv.append(a)
+
     t0 = time.time()
-    params32 = init_params(cfg, seed=7)
+    if ckpt:
+        from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+        # use_caches=False: probe the checkpoint's own f32 values, not the
+        # f16 on-disk cache convention (same policy as scripts/parity_real)
+        cfg, params32 = load_checkpoint(ckpt, dtype=jnp.float32,
+                                        use_caches=False)
+    else:
+        cfg = DEPTH_PRO
+        params32 = init_params(cfg, seed=7)
     params32 = jax.block_until_ready(params32)
     print(f"init {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
-    rng = np.random.RandomState(3)
-    img = jnp.asarray(rng.uniform(-1, 1, (1, cfg.img_size, cfg.img_size, 3))
-                      .astype(np.float32))
+    if image:
+        from matrix_eyes_tpu.io.image import load_source_image
+        from matrix_eyes_tpu.pipeline import preprocess_image
+
+        src = load_source_image(image, None)
+        img = preprocess_image(jnp.asarray(src.rgb), cfg.img_size,
+                               jnp.float32)
+    else:
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.uniform(-1, 1, (1, cfg.img_size, cfg.img_size, 3))
+                          .astype(np.float32))
 
     def run(params, dtype, use_flash):
         @jax.jit
@@ -59,8 +92,15 @@ def main():
         return np.asarray(canon), np.asarray(fov)
 
     # The f32 reference costs ~10 min of remote compile; cache it on disk
-    # across probe invocations (keyed by the init seed + image seed).
-    ref_path = "/tmp/bf16_attr_ref_s7_i3.npz"
+    # across probe invocations (keyed by the weight/image source).
+    if ckpt or image:
+        import hashlib
+
+        tag = hashlib.sha1(f"{ckpt or 'seed7'}|{image or 'rand3'}".encode()) \
+            .hexdigest()[:10]
+        ref_path = f"/tmp/bf16_attr_ref_{tag}.npz"
+    else:
+        ref_path = "/tmp/bf16_attr_ref_s7_i3.npz"
     if os.path.exists(ref_path):
         with np.load(ref_path) as z:
             canon32, fov32 = z["canon"], z["fov"]
@@ -164,7 +204,7 @@ def main():
                        use_flash=True)
         raise SystemExit(f"unknown probe {probe}")
 
-    probes = sys.argv[1:] or ["none", "head", "decoder", "dec_head"]
+    probes = probes_argv or ["none", "head", "decoder", "dec_head"]
     for probe in probes:
         t0 = time.time()
         if probe in PROBES:
