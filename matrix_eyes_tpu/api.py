@@ -91,6 +91,81 @@ class MatrixEyes:
         """Clamped inverse depth (model grid resolution) as numpy f32."""
         return self.depth_map(image, focal_length_35mm).to_numpy()
 
+    def inverse_depth_batch(
+        self,
+        images: "list",
+        focal_length_35mm: Union[float, "list", None] = None,
+        mesh=None,
+    ) -> np.ndarray:
+        """Batched throughput: run ONE forward over a stack of images.
+
+        The batch rides the encoder's pyramid patch axis (35 patches per
+        image, `parallel.sharding`), so per-image cost drops well below the
+        single-image latency on one chip and scales across a device mesh.
+
+        images: list of paths or (H, W, 3) u8 arrays (sizes may differ;
+            each is Lanczos3-resized on device like the single path).
+        focal_length_35mm: None (per-image EXIF; the FOV head fills
+            gaps), one float for every image, or a per-image sequence with
+            None entries for unknown.
+        mesh: an optional `parallel.make_mesh(...)` mesh; the batch is
+            sharded over its data axis and the ViT blocks over its model
+            axis (sharded parameters are cached per mesh on this session).
+        Returns (B, S, S) clamped inverse depth, numpy f32.
+        """
+        if not images:
+            return np.zeros((0, self.cfg.img_size, self.cfg.img_size),
+                            np.float32)
+        if focal_length_35mm is None or isinstance(focal_length_35mm,
+                                                   (int, float)):
+            focals = [focal_length_35mm] * len(images)
+        else:
+            focals = list(focal_length_35mm)
+            if len(focals) != len(images):
+                raise ValueError(
+                    f"{len(images)} images but {len(focals)} focal lengths")
+        srcs = [self._load(im, f) for im, f in zip(images, focals)]
+        dt = self.runtime.resolved_dtype()
+        img = jnp.concatenate(
+            [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size, dtype=dt)
+             for s in srcs])
+        f_norms = [s.f_norm() for s in srcs]
+        use_flash = self.runtime.use_flash_attention()
+
+        params = self.params
+        ctx = None
+        if mesh is not None:
+            from matrix_eyes_tpu.parallel.sharding import (
+                patch_sharded,
+                shard_batch,
+                shard_params,
+            )
+
+            cached = getattr(self, "_sharded_params", {})
+            params = cached.get(mesh)
+            if params is None:
+                params = shard_params(self.params, mesh,
+                                      num_heads=self.cfg.num_heads)
+                cached[mesh] = params
+                self._sharded_params = cached
+            img = shard_batch(img, mesh)
+            ctx = patch_sharded(mesh)
+
+        import contextlib
+
+        with ctx if ctx is not None else contextlib.nullcontext():
+            if all(f is not None for f in f_norms):
+                inv = depth_pro.forward_with_fnorm(
+                    self.cfg, params, img,
+                    jnp.asarray(f_norms, jnp.float32), use_flash)
+            else:
+                f_arr = jnp.asarray([f if f is not None else 1.0
+                                     for f in f_norms], jnp.float32)
+                has_f = jnp.asarray([f is not None for f in f_norms])
+                inv, _ = depth_pro.forward_with_mixed_fnorm(
+                    self.cfg, params, img, f_arr, has_f, use_flash)
+        return np.asarray(inv, np.float32)
+
     # -- full pipeline -----------------------------------------------------
 
     def process(

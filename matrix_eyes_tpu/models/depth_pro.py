@@ -72,6 +72,29 @@ def forward_with_fov(
     return jnp.clip(inv, 1e-4, 1e4), fov_deg
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def forward_with_mixed_fnorm(
+    cfg: ModelConfig, params: Params, img: jnp.ndarray, f_norm: jnp.ndarray,
+    has_f: jnp.ndarray, use_flash: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched forward where only SOME images have a known focal length
+    (the per-image semantics of mod.rs:340-359 applied to a batch): the FOV
+    head runs once for the whole batch and fills in ``f_norm`` where
+    ``has_f`` is False.
+
+    img: (B, S, S, 3); f_norm: (B,) f32 (entries with has_f False are
+    ignored); has_f: (B,) bool. Returns (inverse_depth (B, S, S),
+    fov_deg (B,)).
+    """
+    canonical, lowres = canonical_inverse_depth(cfg, params, img, use_flash)
+    fov_deg = fov_mod.forward(cfg, params["fov"], img, lowres, use_flash)
+    fov_deg = fov_deg.astype(jnp.float32)
+    f_est = jnp.tan(0.5 * fov_deg * math.pi / 180.0) / 0.5
+    f = jnp.where(has_f, jnp.asarray(f_norm, jnp.float32), f_est)
+    inv = canonical.astype(jnp.float32) / f.reshape(-1, 1, 1)
+    return jnp.clip(inv, 1e-4, 1e4), fov_deg
+
+
 def extract_depth(
     cfg: ModelConfig,
     params: Params,

@@ -60,3 +60,58 @@ def test_api_fov_path(env):
     me = MatrixEyes(ckpt)
     inv = me.inverse_depth(src)  # no focal -> FOV head
     assert np.isfinite(inv).all()
+
+
+def test_api_batch_matches_single(env):
+    """inverse_depth_batch == per-image single calls, for every focal-length
+    mode: all-known (fnorm path), mixed (FOV fills gaps), all-unknown."""
+    d, ckpt, src, img = env
+    me = MatrixEyes(ckpt)
+    rng = np.random.RandomState(2)
+    img2 = rng.randint(0, 256, size=(21, 40, 3), dtype=np.uint8)
+
+    # all known focal lengths
+    # tolerances: the batched program is a DIFFERENT XLA executable than
+    # the single-image one (batch-dependent tiling reorders f32 sums), so
+    # bit equality is not expected; 5e-3 absolute covers the reorder noise
+    # at the inverse-depth clamp floor (1/250)
+    tol = dict(rtol=2e-4, atol=5e-3)
+    batch = me.inverse_depth_batch([img, img2], focal_length_35mm=35.0)
+    assert batch.shape == (2, me.cfg.img_size, me.cfg.img_size)
+    np.testing.assert_allclose(
+        batch[0], me.inverse_depth(img, focal_length_35mm=35.0), **tol)
+    np.testing.assert_allclose(
+        batch[1], me.inverse_depth(img2, focal_length_35mm=35.0), **tol)
+
+    # mixed: second image falls back to the FOV head, per-image semantics
+    mixed = me.inverse_depth_batch([img, img2], focal_length_35mm=[35.0, None])
+    np.testing.assert_allclose(
+        mixed[0], me.inverse_depth(img, focal_length_35mm=35.0), **tol)
+    np.testing.assert_allclose(mixed[1], me.inverse_depth(img2), **tol)
+
+    # empty batch is well-defined
+    assert me.inverse_depth_batch([]).shape == (0, me.cfg.img_size,
+                                                me.cfg.img_size)
+
+    with pytest.raises(ValueError):
+        me.inverse_depth_batch([img], focal_length_35mm=[35.0, 28.0])
+
+
+def test_api_batch_on_mesh(env):
+    """The mesh parameter shards the batch (data axis) and the ViT blocks
+    (model axis); results must match the unsharded batch."""
+    d, ckpt, src, img = env
+    from matrix_eyes_tpu.parallel.sharding import make_mesh
+
+    me = MatrixEyes(ckpt)
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, size=(24, 36, 3), dtype=np.uint8)
+            for _ in range(4)]
+    want = me.inverse_depth_batch(imgs, focal_length_35mm=30.0)
+    mesh = make_mesh(8, model=2)
+    got = me.inverse_depth_batch(imgs, focal_length_35mm=30.0, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+    # sharded parameters are cached per mesh
+    assert mesh in me._sharded_params
+    got2 = me.inverse_depth_batch(imgs, focal_length_35mm=30.0, mesh=mesh)
+    np.testing.assert_array_equal(got, got2)
