@@ -16,8 +16,11 @@ manual-DMA halo fetch would pay.
 
 Used when: stride 1, padding 1, HWIO weights, NHWC activations, channels
 lane-aligned (Cin/Cout multiples of 128), the VMEM footprint estimate
-fits at some row-block size, and the run is single-chip TPU.  The generic
-``nn.conv2d`` remains the fallback everywhere else.
+fits at some row-block size, and the run is single-chip TPU or a
+``patch_sharded`` mesh whose data axis divides the batch (the kernel is
+shard_mapped over the batch; a model axis replicates, matching the
+replicated decoder parameters).  The generic ``nn.conv2d`` remains the
+fallback everywhere else.
 """
 
 from __future__ import annotations
@@ -257,10 +260,13 @@ def conv3x3_dispatch(x: jnp.ndarray, w: jnp.ndarray, b=None, skip=None,
     * outside any sharded context the kernel runs plainly, single chip
       only (on a multi-chip runtime without a mesh context we cannot know
       how the surrounding computation is partitioned);
-    * inside a pure data-parallel ``patch_sharded`` mesh whose axis
-      divides the batch, the kernel is shard_mapped over the batch (the
-      multi-image throughput config);
-    * anything else (tensor parallelism, non-dividing batches) -> None.
+    * inside a ``patch_sharded`` mesh whose data axis divides the batch,
+      the kernel is shard_mapped over the batch. Any model axis is left
+      unmapped: the conv decoder/head parameters are replicated over
+      ``model`` (parallel.sharding.param_specs), so each model-group
+      device computes the same per-data-shard conv -- exactly the
+      replicated lowering GSPMD would pick, but through the kernel;
+    * non-dividing batches -> None.
     """
     import os
 
@@ -272,17 +278,17 @@ def conv3x3_dispatch(x: jnp.ndarray, w: jnp.ndarray, b=None, skip=None,
     if not conv3x3_supported(x, w, 1, 1, n_skips):
         return None
 
-    from matrix_eyes_tpu.parallel.sharding import active_data_mesh, active_patch_context
+    from matrix_eyes_tpu.parallel.sharding import active_patch_context
 
-    if active_patch_context() is None:
+    ctx = active_patch_context()
+    if ctx is None:
         if len(jax.devices()) != 1:
             return None
         return conv3x3_pallas(x, w, b, skip=skip, skip2=skip2, relu_in=relu_in)
 
-    dm = active_data_mesh()
-    if dm is None or x.shape[0] % dm[0].shape[dm[1]] != 0:
+    mesh, axis = ctx
+    if x.shape[0] % mesh.shape[axis] != 0:
         return None
-    mesh, axis = dm
 
     from jax.sharding import PartitionSpec as P
 

@@ -390,9 +390,19 @@ def test_conv_dispatch_shard_mapped_on_data_mesh(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
-    # tensor-parallel mesh -> None
+    # tensor-parallel mesh: the kernel still engages, shard_mapped over the
+    # data axis with the model axis unmapped (the decoder params are
+    # replicated over model, so per-model-shard compute is identical)
+    calls.clear()
     mesh_tp = make_mesh(8, model=2)
     with patch_sharded(mesh_tp):
-        assert conv3x3.conv3x3_dispatch(x, w) is None
+        got_tp = conv3x3.conv3x3_dispatch(x, w, None, skip=skip, relu_in=True)
+        assert got_tp is not None
+        # batch not dividing the data axis -> None even on a TP mesh
+        assert conv3x3.conv3x3_dispatch(x[:3], w) is None
+    assert calls and all(b == 2 for b in calls), \
+        f"kernel should see per-data-shard batches of 2, saw {set(calls)}"
+    np.testing.assert_allclose(np.asarray(got_tp), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
     # multi-device runtime without a mesh context -> None
     assert conv3x3.conv3x3_dispatch(x, w) is None
