@@ -67,10 +67,17 @@ def prefetch_async(name_prefixes: Sequence[str], per_prefix: int = 2) -> None:
         for p in name_prefixes:
             if f.startswith(p + "-"):
                 by_prefix[p].append(f)
+    def mtime(f):
+        # a concurrent process may unlink a stale entry between listdir and
+        # here; prefetch is purely an optimization, so never let that crash
+        try:
+            return os.path.getmtime(os.path.join(d, f))
+        except OSError:
+            return 0.0
+
     ex = ThreadPoolExecutor(max_workers=1)
     for p, fs in by_prefix.items():
-        fs.sort(key=lambda f: os.path.getmtime(os.path.join(d, f)),
-                reverse=True)
+        fs.sort(key=mtime, reverse=True)
         for f in fs[:per_prefix]:
             key = f[: -len(".jaxexec")]
             if key not in _prefetched:

@@ -58,6 +58,37 @@ def _flash_sharding(batch: int):
     return None
 
 
+def _attention_qkv(qkv: jnp.ndarray, H: int, D: int, scale: float,
+                   use_flash: bool, n_valid: int | None) -> jnp.ndarray:
+    """Attention on a checkpoint-layout (B, N, 3C) qkv (the non-TP paths,
+    float and int8 alike): the fused Pallas kernel reads heads straight out
+    of the qkv layout -- no (3, B, H, N, D) transpose, no head-merge after.
+    _flash_sharding decides whether the kernel must be shard_mapped over a
+    data-parallel mesh (a pallas_call is opaque to the GSPMD partitioner,
+    so inside a sharded computation it cannot sit bare); where the geometry
+    or context rules the kernel out, XLA attention takes over."""
+    from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
+
+    B, N, C3 = qkv.shape
+    if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+        data_mesh = _flash_sharding(B)
+        if data_mesh not in (None, True):
+            from jax.sharding import PartitionSpec as P
+
+            from matrix_eyes_tpu.parallel.compat import shard_map
+
+            mesh, axis = data_mesh
+            return shard_map(
+                lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
+                mesh=mesh, in_specs=(P(axis, None, None),),
+                out_specs=P(axis, None, None), check_rep=False)(qkv)
+        return attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
+    q5 = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+    o = attention(q5[0], q5[1], q5[2], scale, use_flash=use_flash,
+                  n_valid=n_valid)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C3 // 3)
+
+
 def _attention_tp(qkv: jnp.ndarray, tp_ctx, k_tp: int, H: int, D: int,
                   scale: float, use_flash: bool, n_valid: int | None):
     """Attention on the head-group-major TP qkv layout (see
@@ -98,7 +129,6 @@ def _attention_tp(qkv: jnp.ndarray, tp_ctx, k_tp: int, H: int, D: int,
 def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
                   n_valid: int | None = None) -> jnp.ndarray:
     """One pre-norm transformer block (vit.rs:163-170)."""
-    B, N, C = x.shape
     H = cfg.num_heads
     D = cfg.head_dim
     scale = 1.0 / (D ** 0.5)
@@ -117,7 +147,6 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
         wdt = (p["qkv_gw"] if "qkv_gw" in p else p["qkv_w"]).dtype
     h = nn.layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
     h = h.astype(wdt)
-    from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
 
     if quantized:
         # int8 path (opt-in --dtype int8): qkv/fc1 run int8 on the MXU with
@@ -137,35 +166,20 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
             from matrix_eyes_tpu.parallel.sharding import active_model_parallel
 
             tp_ctx = active_model_parallel()
-            if tp_ctx is None or H % tp_ctx[3] != 0:
+            k_perm = p["qkv_gb"].shape[-2]  # degree the columns were permuted for
+            if tp_ctx is None or tp_ctx[3] != k_perm or H % k_perm != 0:
                 raise ValueError(
-                    "TP-grouped quantized qkv parameters (qkv_gqw) require "
-                    "the matching model-parallel patch_sharded mesh context")
-            qkv = qlinear(h, p["qkv_gqw"], p["qkv_gsw"], p["qkv_gb"])
+                    f"TP-grouped quantized qkv parameters (qkv_gqw, permuted "
+                    f"for model-parallel degree {k_perm}) require the matching "
+                    f"patch_sharded mesh context (active: "
+                    f"{'none' if tp_ctx is None else tp_ctx[3]})")
+            qkv = qlinear(h, p["qkv_gqw"], p["qkv_gsw"],
+                          p["qkv_gb"].reshape(-1))
             o = _attention_tp(qkv, tp_ctx, tp_ctx[3], H, D, scale, use_flash,
                               n_valid)
         else:
             qkv = qlinear(h, p["qkv_qw"], p["qkv_sw"], p["qkv_b"])
-            if use_flash and N % 128 == 0 and qkv_fusable(H, D):
-                data_mesh = _flash_sharding(B)
-                if data_mesh not in (None, True):
-                    from jax.sharding import PartitionSpec as P
-
-                    from matrix_eyes_tpu.parallel.compat import shard_map
-
-                    mesh, axis = data_mesh
-                    o = shard_map(
-                        lambda q: attention_flash_qkv(q, H, scale,
-                                                      n_valid=n_valid),
-                        mesh=mesh, in_specs=(P(axis, None, None),),
-                        out_specs=P(axis, None, None), check_rep=False)(qkv)
-                else:
-                    o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
-            else:
-                q5 = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-                o = attention(q5[0], q5[1], q5[2], scale, use_flash=use_flash,
-                              n_valid=n_valid)
-                o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+            o = _attention_qkv(qkv, H, D, scale, use_flash, n_valid)
         o = nn.linear(o, dequantize_weight(p["proj_qw"], p["proj_sw"], wdt),
                       p["proj_b"])
         x = x + o.astype(x.dtype) * p["ls1"].astype(x.dtype)
@@ -185,41 +199,19 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
         from matrix_eyes_tpu.parallel.sharding import active_model_parallel
 
         tp_ctx = active_model_parallel()
-        if tp_ctx is None or H % tp_ctx[3] != 0:
+        k_perm = p["qkv_gb"].shape[-2]  # degree the columns were permuted for
+        if tp_ctx is None or tp_ctx[3] != k_perm or H % k_perm != 0:
             raise ValueError(
-                "TP-grouped qkv parameters (qkv_gw) require the matching "
-                "model-parallel patch_sharded mesh context")
-        qkv = nn.linear(h, p["qkv_gw"], p["qkv_gb"])  # (B, N, 3C) grouped
+                f"TP-grouped qkv parameters (qkv_gw, permuted for "
+                f"model-parallel degree {k_perm}) require the matching "
+                f"patch_sharded mesh context (active: "
+                f"{'none' if tp_ctx is None else tp_ctx[3]})")
+        qkv = nn.linear(h, p["qkv_gw"], p["qkv_gb"].reshape(-1))  # grouped
         o = _attention_tp(qkv, tp_ctx, tp_ctx[3], H, D, scale, use_flash,
                           n_valid)
     else:
         qkv = nn.linear(h, p["qkv_w"], p["qkv_b"])  # (B, N, 3C)
-        if use_flash and N % 128 == 0 and qkv_fusable(H, D):
-            # fused kernel reads heads straight out of the qkv layout -- no
-            # (3, B, H, N, D) transpose and no head-merge afterwards.
-            # _flash_sharding (checked by forward_features before enabling
-            # flash at all) decides whether to map the kernel over a
-            # data-parallel mesh: a pallas_call is opaque to the GSPMD
-            # partitioner, so inside a sharded computation it must be
-            # explicitly shard_mapped.
-            data_mesh = _flash_sharding(B)
-            if data_mesh not in (None, True):
-                from jax.sharding import PartitionSpec as P
-
-                from matrix_eyes_tpu.parallel.compat import shard_map
-
-                mesh, axis = data_mesh
-                o = shard_map(
-                    lambda q: attention_flash_qkv(q, H, scale, n_valid=n_valid),
-                    mesh=mesh, in_specs=(P(axis, None, None),),
-                    out_specs=P(axis, None, None), check_rep=False)(qkv)
-            else:
-                o = attention_flash_qkv(qkv, H, scale, n_valid=n_valid)
-        else:
-            qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]  # (3, B, H, N, D)
-            o = attention(q, k, v, scale, use_flash=use_flash, n_valid=n_valid)
-            o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+        o = _attention_qkv(qkv, H, D, scale, use_flash, n_valid)
     o = nn.linear(o, p["proj_w"], p["proj_b"])
     # cast BEFORE the LayerScale multiply: under the f32-residual policy a
     # bf16*bf16 product would round to bf16 before promotion into the f32
@@ -294,9 +286,10 @@ def forward_features(
             from matrix_eyes_tpu.parallel.sharding import active_model_parallel
 
             mp = active_model_parallel()
-            if mp is not None and cfg.num_heads % mp[3] == 0:
+            k_perm = params["blocks"]["qkv_gb"].shape[-2]
+            if mp is not None and mp[3] == k_perm and cfg.num_heads % k_perm == 0:
                 use_flash = use_flash and qkv_fusable(
-                    cfg.num_heads // mp[3], cfg.head_dim)
+                    cfg.num_heads // k_perm, cfg.head_dim)
         else:
             fs = _flash_sharding(tokens.shape[0])
             if fs is None:

@@ -150,22 +150,31 @@ def quantize_vit_blocks_np(blocks: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize every ViT instance's blocks in a checkpoint-part tree
-    (host numpy). Non-ViT parameters (decoder/head/FOV convs, embeddings,
-    upsample chains) are untouched: their cost is bandwidth at small channel
-    counts, not MXU rate. Accepts the full params dict or any subtree."""
+def _map_vit_blocks(tree: Any, fn) -> Any:
+    """Apply ``fn`` to every stacked ViT blocks dict in a parameter tree
+    (detected by its checkpoint-layout ``qkv_w`` key); everything else
+    passes through untouched. The single traversal behind quantize_params /
+    quantize_spec / quantize_params_device, so a new container shape needs
+    one edit, not three."""
 
     def walk(t):
         if isinstance(t, dict):
             if "qkv_w" in t:  # a stacked ViT blocks dict
-                return quantize_vit_blocks_np(t)
+                return fn(t)
             return {k: walk(v) for k, v in t.items()}
         if isinstance(t, (list, tuple)):
             return type(t)(walk(v) for v in t)
         return t
 
-    return walk(params)
+    return walk(tree)
+
+
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every ViT instance's blocks in a checkpoint-part tree
+    (host numpy). Non-ViT parameters (decoder/head/FOV convs, embeddings,
+    upsample chains) are untouched: their cost is bandwidth at small channel
+    counts, not MXU rate. Accepts the full params dict or any subtree."""
+    return _map_vit_blocks(params, quantize_vit_blocks_np)
 
 
 def quantize_spec(spec: Dict[str, Any]) -> Dict[str, Any]:
@@ -186,16 +195,7 @@ def quantize_spec(spec: Dict[str, Any]) -> Dict[str, Any]:
                 out[key] = v
         return out
 
-    def walk(t):
-        if isinstance(t, dict):
-            if "qkv_w" in t:
-                return q_blocks(t)
-            return {k: walk(v) for k, v in t.items()}
-        if isinstance(t, (list, tuple)):
-            return type(t)(walk(v) for v in t)
-        return t
-
-    return walk(spec)
+    return _map_vit_blocks(spec, q_blocks)
 
 
 def quantize_params_device(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -215,13 +215,4 @@ def quantize_params_device(params: Dict[str, Any]) -> Dict[str, Any]:
                 out[key] = v
         return out
 
-    def walk(t):
-        if isinstance(t, dict):
-            if "qkv_w" in t:
-                return q_blocks(t)
-            return {k: walk(v) for k, v in t.items()}
-        if isinstance(t, (list, tuple)):
-            return type(t)(walk(v) for v in t)
-        return t
-
-    return jax.jit(walk)(params)
+    return jax.jit(lambda p: _map_vit_blocks(p, q_blocks))(params)

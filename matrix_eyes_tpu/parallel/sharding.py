@@ -122,7 +122,11 @@ def _tp_permute_qkv(blocks: Dict[str, Any], k: int) -> Dict[str, Any]:
     path dispatches on the key (models/vit.py), so permuted parameters can
     never be silently misread as checkpoint-layout ones (jax interns equal
     Mesh objects, so a mesh-keyed registry could not provide that
-    guarantee)."""
+    guarantee). The PERMUTATION DEGREE is self-describing too: ``qkv_gb``
+    is stored grouped, shape (..., k, 3C/k), so the forward path can check
+    the active mesh's model-axis size against the k the columns were
+    actually permuted for -- a layout permuted for k=4 run under a k=2 mesh
+    would otherwise mix sections across head groups silently."""
     ref = blocks["qkv_qw"] if "qkv_qw" in blocks else blocks["qkv_w"]
     c3 = ref.shape[-1]
     c = c3 // 3
@@ -135,6 +139,7 @@ def _tp_permute_qkv(blocks: Dict[str, Any], k: int) -> Dict[str, Any]:
     for src, dst in _TP_QKV_RENAMES.items():
         if src in blocks:
             out[dst] = blocks[src][..., idx]
+    out["qkv_gb"] = out["qkv_gb"].reshape(out["qkv_gb"].shape[:-1] + (k, c3 // k))
     return out
 
 
@@ -174,7 +179,9 @@ def _vit_block_specs() -> Dict[str, P]:
         "qkv_w": P(None, None, "model"),
         "qkv_b": P(None, "model"),
         "qkv_gw": P(None, None, "model"),
-        "qkv_gb": P(None, "model"),
+        # grouped bias: (L, k, 3C/k) -- the group axis IS the shard axis,
+        # and its extent doubles as the recorded permutation degree
+        "qkv_gb": P(None, "model", None),
         "proj_w": P(None, "model", None),
         "fc1_w": P(None, None, "model"),
         "fc1_b": P(None, "model"),

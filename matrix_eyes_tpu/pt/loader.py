@@ -474,6 +474,28 @@ def load_packed8_cache(checkpoint_path: str, part: str, qpart_spec: Any,
     return jax.tree.unflatten(treedef, unpack(devs))
 
 
+def _f16_convention(tree: Any) -> Any:
+    """Round every float leaf through the f16 on-disk convention.
+
+    Int8 quantization must be a pure function of the checkpoint, not of the
+    cache state: a warm run re-quantizes from the f16 part caches, so a cold
+    run (no caches yet, or unwritable directory) must quantize from the SAME
+    f16-rounded values -- otherwise the two paths derive different amax/
+    scales (f16 keeps 11 mantissa bits, the bf16 runtime conversion only 8)
+    and the same checkpoint would yield two numerically different int8
+    models depending on which files happen to exist."""
+
+    def f(a):
+        a = np.asarray(a)
+        if a.dtype == ml_dtypes.bfloat16:
+            return a.astype(np.float32).astype(np.float16)
+        if np.issubdtype(a.dtype, np.floating):
+            return a.astype(np.float16)
+        return a
+
+    return jax.tree.map(f, tree)
+
+
 def _pt_stat(checkpoint_path: str):
     try:
         st = os.stat(checkpoint_path)
@@ -704,7 +726,7 @@ def load_checkpoint(
                     f"weight caches for '{part}'")
             if quantize_int8:
                 with timings.span(f"quantize {part} (host)"):
-                    qhost = quantize_params(converted[part])
+                    qhost = quantize_params(_f16_convention(converted[part]))
                 if convert_checkpoints:
                     _save_cache_nonfatal(
                         lambda part=part, qhost=qhost: save_packed8_cache(

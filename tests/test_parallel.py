@@ -260,6 +260,29 @@ def test_tp_grouped_params_require_mesh_context():
         vit.forward_features(cfg, p, x, use_flash=False)
 
 
+def test_tp_grouped_params_reject_mismatched_degree():
+    # Parameters permuted for k=2 but run inside a k=4 mesh context: the
+    # head-divisibility guard alone would pass (8 % 4 == 0) while the
+    # reshape mixed q/k/v sections across head groups. The permutation
+    # degree recorded in qkv_gb's group axis must refuse loudly.
+    import pytest as _pytest
+
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.models import vit
+    from matrix_eyes_tpu.models.init import init_params
+
+    cfg = MID
+    full = init_params(cfg, seed=11)
+    sparams = shard_params(full, make_mesh(8, model=2),
+                           num_heads=cfg.num_heads)
+    p = sparams["encoder"]["patch_encoder"]
+    assert p["blocks"]["qkv_gb"].shape[-2] == 2
+    x = jnp.zeros((1, cfg.vit_img_size, cfg.vit_img_size, 3), jnp.float32)
+    with patch_sharded(make_mesh(8, model=4)):
+        with _pytest.raises(ValueError, match="degree 2"):
+            vit.forward_features(cfg, p, x, use_flash=False)
+
+
 def _tp_fusable_cfg():
     # Smallest geometry whose per-shard head group is lane-alignable at
     # k=2: H=8, D=32 -> H_loc=4, 4*32=128 features.

@@ -294,6 +294,39 @@ def test_loader_quantize_and_packed8_roundtrip(ckpt, capsys):
     assert "qkv_w" in pf["encoder"]["patch_encoder"]["blocks"]
 
 
+def test_int8_reproducible_across_cache_states(tmp_path):
+    """The int8 model must be a pure function of the checkpoint, not of
+    which cache files happen to exist: a cold load (straight from the .pt)
+    and a warm re-quantization from the f16 float caches both quantize from
+    the f16 on-disk convention, so amax/scales/codes agree exactly."""
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=37)
+    path = str(tmp_path / "m.pt")
+    torch.save(tm.state_dict(), path)
+
+    # cold: no caches at all; writes float + packed8 caches
+    _, p_cold = load_checkpoint(path, dtype=jnp.bfloat16, quantize_int8=True,
+                                convert_checkpoints=True)
+    # drop only the packed8 caches -> next int8 load re-quantizes from the
+    # f16 float caches (the divergent path the f16 convention closes)
+    removed = 0
+    for f in os.listdir(tmp_path):
+        if ".packed8." in f:
+            os.remove(os.path.join(tmp_path, f))
+            removed += 1
+    assert removed, "expected packed8 caches to exist"
+    _, p_warm = load_checkpoint(path, dtype=jnp.bfloat16, quantize_int8=True)
+
+    l1, t1 = jax.tree.flatten(p_cold)
+    l2, t2 = jax.tree.flatten(p_warm)
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
 def test_loader_stale_packed8_scheme_falls_back(ckpt, capsys):
     """An old-scheme packed8 cache must not fail the warm load: the loader
     warns, re-quantizes from the float caches, and (with convert) rewrites
