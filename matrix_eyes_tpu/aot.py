@@ -127,7 +127,11 @@ def _abstract_sig(args: Sequence[Any]) -> str:
     parts = [str(treedef)]
     for l in leaves:
         a = jax.api_util.shaped_abstractify(l)
-        parts.append(f"{a.dtype}{tuple(a.shape)}")
+        # Input shardings are part of the compiled executable's contract:
+        # the same shapes arriving mesh-sharded (--devices) vs single-device
+        # must not replay each other's binaries.
+        sh = getattr(l, "sharding", None)
+        parts.append(f"{a.dtype}{tuple(a.shape)}@{sh}")
     return "|".join(parts)
 
 

@@ -40,6 +40,7 @@ Options:
       --convert-checkpoints               Convert checkpoints into a more efficient format [default: disabled]
       --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16, int8]
       --seed=<SEED>                       Stereogram noise seed [default: 0]
+      --devices=<N | DATAxMODEL>          Run sharded over a device mesh, e.g. 8 or 4x2 [default: single device]
       --no-flash-attention                Disable the Pallas flash-attention kernel
       --profile=<DIR>                     Write a jax.profiler trace of the run to DIR
       --help                              Print help"""
@@ -56,6 +57,7 @@ class Args:
     vertex_mode: str = "vertex-colors"
     dtype: Optional[str] = None
     seed: int = 0
+    devices: Optional[tuple] = None  # (data, model) mesh shape
     flash_attention: Optional[bool] = None
     profile_dir: Optional[str] = None
     img_src: str = ""
@@ -127,6 +129,17 @@ def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
                 args.dtype = value
             elif name == "--seed":
                 args.seed = parse_value(name, value, int)
+            elif name == "--devices":
+                def mesh_shape(v: str) -> tuple:
+                    parts = v.lower().split("x")
+                    if len(parts) > 2:
+                        raise ValueError("expected N or DATAxMODEL")
+                    dims = [int(p) for p in parts]  # ValueError on junk
+                    if any(d < 1 for d in dims):
+                        raise ValueError("mesh dimensions must be >= 1")
+                    return (dims[0], dims[1] if len(dims) == 2 else 1)
+
+                args.devices = parse_value(name, value, mesh_shape)
             elif name == "--profile":
                 args.profile_dir = value
             else:
@@ -170,6 +183,28 @@ def run(args: Args, progress=None) -> None:
     )
 
     import os
+
+    # --devices=N / DATAxMODEL: run the whole pipeline sharded over a device
+    # mesh -- the pyramid patch batch over 'data' (SURVEY.md section 5's
+    # natural axis) and Megatron TP over the ViT blocks on 'model'. Same
+    # layouts as __graft_entry__.dryrun_multichip, now one CLI flag away.
+    # Validated before the checkpoint load so a bad mesh fails fast.
+    mesh = None
+    if args.devices is not None:
+        import jax
+
+        from matrix_eyes_tpu.errors import ReconstructionError
+        from matrix_eyes_tpu.parallel import make_mesh
+
+        data, model = args.devices
+        n = data * model
+        avail = len(jax.devices())
+        if n > avail:
+            raise ReconstructionError(
+                f"Device error: --devices={data}x{model} needs {n} devices "
+                f"but only {avail} are available")
+        if n > 1:
+            mesh = make_mesh(n, model=model)
 
     batch = os.path.isdir(args.img_src)
     if batch:
@@ -231,6 +266,12 @@ def run(args: Args, progress=None) -> None:
         progress=progress,
         quantize_int8=runtime.quantize_int8,
     )
+    if mesh is not None:
+        from matrix_eyes_tpu import timings
+        from matrix_eyes_tpu.parallel import shard_params
+
+        with timings.span("shard parameters"):
+            params = shard_params(params, mesh, num_heads=cfg.num_heads)
     # Batch throughput: decode image k+1 on a worker thread while image k
     # runs on the device (the reference is one image per process,
     # main.rs:149-173; this overlap is free because host JPEG decode and
@@ -268,6 +309,7 @@ def run(args: Args, progress=None) -> None:
                 runtime=runtime,
                 progress=progress,
                 source=src,
+                mesh=mesh,
             )
     finally:
         if decode_pool is not None:

@@ -51,8 +51,15 @@ def extract_depth(
     runtime: Optional[RuntimeConfig] = None,
     progress=None,
     source: Optional[SourceImage] = None,
+    mesh=None,
 ) -> None:
-    """Full pipeline for one image (reconstruction.rs:155-205)."""
+    """Full pipeline for one image (reconstruction.rs:155-205).
+
+    ``mesh``: an optional ``parallel.make_mesh(...)`` device mesh. ``params``
+    must already be placed with ``parallel.shard_params`` over it; the
+    forward then runs with the pyramid patch batch sharded over the mesh's
+    data axis and the ViT blocks tensor-parallel over its model axis
+    (the CLI's ``--devices`` flag)."""
     runtime = runtime or RuntimeConfig()
     pl = SplitProgressListener(progress)
     pl_model, pl_out = pl.split_range(0.9)
@@ -91,6 +98,13 @@ def extract_depth(
         with timings.span("preprocess (device)"):
             img = aot.call_cached("preprocess", pre, (jnp.asarray(src.rgb),),
                                   salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
+        if mesh is not None:
+            # Replicate the image over the mesh so every input of the sharded
+            # forward lives on the mesh's devices (mixing a single-device
+            # committed array with mesh-sharded parameters is an error).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            img = jax.device_put(img, NamedSharding(mesh, PartitionSpec()))
     except Exception as err:
         raise stage_error("Failed to load source image", err) from err
     pl_pre.report_status(1.0)
@@ -105,9 +119,21 @@ def extract_depth(
         from matrix_eyes_tpu import aot
 
         salt = f"{cfg!r}|flash={use_flash}"
+        import contextlib
+
+        if mesh is not None:
+            from matrix_eyes_tpu.parallel import patch_sharded
+
+            # The patch-sharding context changes what gets traced (sharding
+            # constraints inside the encoder), so it must be part of the AOT
+            # cache key alongside the arg shardings.
+            salt += f"|mesh={dict(mesh.shape)}"
+            shard_ctx = patch_sharded(mesh)
+        else:
+            shard_ctx = contextlib.nullcontext()
         from matrix_eyes_tpu import timings
 
-        with timings.span("model forward"):
+        with timings.span("model forward"), shard_ctx:
             if f_norm is not None:
                 def fwd_fnorm(p, im, f):
                     return depth_pro.forward_with_fnorm.__wrapped__(

@@ -66,6 +66,16 @@ def test_parse_exit_codes():
         assert e.value.code == 2, argv
 
 
+def test_parse_devices():
+    assert _parse(["--devices=8", "a", "b"]).devices == (8, 1)
+    assert _parse(["--devices=4x2", "a", "b"]).devices == (4, 2)
+    assert _parse(["--devices=1", "a", "b"]).devices == (1, 1)
+    for bad in ("0", "axb", "3x", "2x2x2", "-4x2"):
+        with pytest.raises(SystemExit) as e:
+            _parse([f"--devices={bad}", "a", "b"])
+        assert e.value.code == 2, bad
+
+
 def test_parse_unknown_flag_warns_but_continues():
     # main.rs:117-119: unsupported flags only warn
     err = io.StringIO()
@@ -267,6 +277,51 @@ def test_cli_batch_prefetch_decode_error_is_canonical(workdir, tmp_path, capsys)
     assert rc == 1
     assert (outdir / "a.png").exists()  # first image still produced
     assert "Failed to load source image" in capsys.readouterr().err
+
+
+def test_cli_devices_mesh_matches_single_device(workdir, tmp_path):
+    """--devices=4x2 runs the full pipeline sharded over the virtual 8-device
+    mesh (patch batch over 'data', Megatron TP over 'model'); the depth map
+    must match the single-device run up to reduction-reorder noise (<= 1 u8
+    quantisation level after the (max-d)/(max-min) normalisation)."""
+    d, ckpt, src = workdir
+    single = str(tmp_path / "single.png")
+    sharded = str(tmp_path / "sharded.png")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28", src, single])
+    assert rc == 0
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--devices=4x2", src, sharded])
+    assert rc == 0
+    with Image.open(single) as a, Image.open(sharded) as b:
+        assert a.size == b.size == (60, 40)
+        pa = np.asarray(a).astype(np.int16)
+        pb = np.asarray(b).astype(np.int16)
+    assert np.abs(pa - pb).max() <= 1
+
+
+def test_cli_devices_stereogram_and_batch(workdir, tmp_path):
+    """The mesh path covers the FOV-head route and batch-directory mode."""
+    d, ckpt, src = workdir
+    import shutil
+
+    srcdir = tmp_path / "in_mesh"
+    outdir = tmp_path / "out_mesh"
+    srcdir.mkdir()
+    outdir.mkdir()
+    shutil.copy(src, str(srcdir / "a.jpg"))
+    shutil.copy(src, str(srcdir / "b.jpg"))
+    # no focal length: FOV network runs sharded too
+    rc = _run([f"--checkpoint-path={ckpt}", "--devices=4x2",
+               "--image-output-format=stereogram", str(srcdir), str(outdir)])
+    assert rc == 0
+    assert (outdir / "a.png").exists() and (outdir / "b.png").exists()
+
+
+def test_cli_devices_too_many_fails_with_1(workdir, tmp_path):
+    d, ckpt, src = workdir
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--devices=64", src, str(tmp_path / "never.png")])
+    assert rc == 1
 
 
 def test_cli_batch_requires_out_directory(workdir, tmp_path):
