@@ -235,9 +235,14 @@ def save_packed_cache(checkpoint_path: str, part: str, part_params: Any,
     os.replace(manifest + ".tmp", manifest)
 
 
-def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) -> Any:
-    """Load a packed part: mmap the blob, one device transfer, slice + cast
-    on device (jitted; the unpack program is tiny and compiles in ~1 s)."""
+def _read_packed_manifest(checkpoint_path: str, part: str, part_spec: Any):
+    """Open + fully validate a packed f16 part cache.
+
+    Returns ``(blob, entries, treedef)`` with the manifest parsed, the
+    entry count and every shape checked against the model spec, and the
+    blob's dtype and total size verified -- the one shared gate for both
+    the device loader and the host reader, so a corrupt or stale cache
+    always surfaces as a LoaderError with delete-to-reconvert guidance."""
     npy, manifest_path = _packed_paths(checkpoint_path, part)
     try:
         with open(manifest_path) as f:
@@ -270,6 +275,13 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
             "float16 blobs (stale cache? delete it to reconvert)")
     if blob.dtype != np.uint16 or blob.size != (entries[-1]["offset"] + entries[-1]["size"] if entries else 0):
         raise LoaderError(f"packed cache {npy} is corrupt (delete it to reconvert)")
+    return blob, entries, treedef
+
+
+def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) -> Any:
+    """Load a packed part: mmap the blob, one device transfer, slice + cast
+    on device (jitted; the unpack program is tiny and compiles in ~1 s)."""
+    blob, entries, treedef = _read_packed_manifest(checkpoint_path, part, part_spec)
     dev = jax.device_put(blob)
 
     import jax.lax as lax
@@ -290,31 +302,9 @@ def load_packed_cache(checkpoint_path: str, part: str, part_spec: Any, dtype) ->
 def _read_packed_cache_np(checkpoint_path: str, part: str, part_spec: Any) -> Any:
     """Read a packed f16 part cache into a host numpy tree (f16 leaves) --
     the int8 quantization path needs host values, not a device upload."""
-    npy, manifest_path = _packed_paths(checkpoint_path, part)
-    try:
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        entries = manifest["entries"]
-        if manifest.get("dtype", "float16") != "float16":
-            raise LoaderError(
-                f"packed cache {npy} has dtype {manifest.get('dtype')}, "
-                "expected float16 (stale cache? delete it to reconvert)")
-        blob = np.load(npy, mmap_mode="r")
-    except (OSError, ValueError, KeyError) as e:
-        raise LoaderError(
-            f"packed cache for '{part}' unreadable: {e} "
-            "(stale cache? delete it to reconvert)") from e
-    spec_leaves, treedef = jax.tree.flatten(part_spec)
-    if len(spec_leaves) != len(entries):
-        raise LoaderError(
-            f"packed cache {npy} has {len(entries)} tensors, model expects "
-            f"{len(spec_leaves)} (stale cache? delete it to reconvert)")
+    blob, entries, treedef = _read_packed_manifest(checkpoint_path, part, part_spec)
     leaves = []
-    for e, want in zip(entries, spec_leaves):
-        if tuple(e["shape"]) != tuple(want.shape):
-            raise LoaderError(
-                f"packed cache {npy}: tensor shape {tuple(e['shape'])} != "
-                f"expected {tuple(want.shape)} (stale cache? delete it)")
+    for e in entries:
         seg = blob[e["offset"]:e["offset"] + e["size"]]
         leaves.append(np.asarray(seg).view(np.float16).reshape(e["shape"]))
     return jax.tree.unflatten(treedef, leaves)
@@ -480,10 +470,10 @@ def _f16_convention(tree: Any) -> Any:
     Int8 quantization must be a pure function of the checkpoint, not of the
     cache state: a warm run re-quantizes from the f16 part caches, so a cold
     run (no caches yet, or unwritable directory) must quantize from the SAME
-    f16-rounded values -- otherwise the two paths derive different amax/
-    scales (f16 keeps 11 mantissa bits, the bf16 runtime conversion only 8)
-    and the same checkpoint would yield two numerically different int8
-    models depending on which files happen to exist."""
+    f16-rounded values.  The cold loader converts at canonical f32 and this
+    rounds that to f16(x) -- exactly the bytes save_part_cache /
+    save_packed_cache write -- so both paths derive identical amax/scales/
+    codes regardless of which files happen to exist."""
 
     def f(a):
         a = np.asarray(a)
@@ -491,6 +481,23 @@ def _f16_convention(tree: Any) -> Any:
             return a.astype(np.float32).astype(np.float16)
         if np.issubdtype(a.dtype, np.floating):
             return a.astype(np.float16)
+        return a
+
+    return jax.tree.map(f, tree)
+
+
+def _cast_float_leaves(tree: Any, dtype) -> Any:
+    """Cast float leaves to the numpy view of ``dtype`` on the host.
+
+    The cold loader converts at canonical f32 (see load_checkpoint); device
+    placement must still upload runtime-width bytes, so the runtime cast
+    happens here rather than on device."""
+    np_dtype = jnp.dtype(dtype)
+
+    def f(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating) or a.dtype == ml_dtypes.bfloat16:
+            return np.ascontiguousarray(a.astype(np_dtype))
         return a
 
     return jax.tree.map(f, tree)
@@ -712,7 +719,17 @@ def load_checkpoint(
         # per-leaf device round-trip here measured ~20 minutes through the
         # dev relay for the 0.95 B-parameter model
         with timings.span("convert state dict (host)"):
-            converted = convert_state_dict(cfg, read_flat(), dtype=dtype,
+            # Convert at canonical f32 (lossless from any source dtype).
+            # Caches and int8 quantization must be pure functions of the
+            # checkpoint, not of the runtime dtype of the run that happens
+            # to write them: converting at the runtime dtype wrote
+            # f16(bf16(x)) caches from bf16 runs but f16(x) from f32 runs,
+            # so the same checkpoint quantized to two different int8 models
+            # depending on cache state. The runtime cast happens host-side
+            # just before placement (_cast_float_leaves), which is
+            # bit-identical to converting at the runtime dtype directly
+            # (convert_state_dict casts only at the end).
+            converted = convert_state_dict(cfg, read_flat(), dtype=jnp.float32,
                                            parts=tuple(uncached), device=False)
         for part in uncached:
             if convert_checkpoints:
@@ -737,7 +754,10 @@ def load_checkpoint(
                                             exact_dtypes=(np.int8, np.float32))
             else:
                 with timings.span(f"weights {part} -> device"):
-                    out[part] = _place_part(converted[part], dtype)
+                    # cast on the host so the upload is runtime-width bytes,
+                    # not the 4-byte canonical conversion
+                    out[part] = _place_part(
+                        _cast_float_leaves(converted[part], dtype), dtype)
         if convert_checkpoints:
             def write_config():
                 d = dataclasses.asdict(cfg)

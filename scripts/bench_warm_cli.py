@@ -42,7 +42,10 @@ def parse_timings(stderr: str) -> dict:
         m = re.match(r"\s{2}(.+?)\s{2,}([0-9.]+) s(?: x(\d+))?\s*$", line)
         if not m:
             break
-        out[m.group(1).strip()] = float(m.group(2))
+        name = m.group(1).strip()
+        if name == "process total":
+            break  # trailing summary row, not a pipeline stage
+        out[name] = float(m.group(2))
     return out
 
 

@@ -43,12 +43,22 @@ def test_cache_roundtrip_and_dtype_cast(ckpt):
     cfg1, p1 = load_checkpoint(ckpt, dtype=jnp.bfloat16, convert_checkpoints=True)
     stem = os.path.splitext(ckpt)[0]
     assert os.path.exists(f"{stem}-encoder.npz")
-    # load from cache (stored f16, the reference convention), casting -> f32
+    # the bf16 run sees bf16(x) -- the checkpoint's own values at the
+    # requested dtype, not an artifact of cache precision
+    _, src = load_checkpoint(ckpt, dtype=jnp.float32, use_caches=False)
+    for s, a in zip(jax.tree.leaves(src), jax.tree.leaves(p1)):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(jnp.asarray(s).astype(jnp.bfloat16), np.float32),
+            np.asarray(a, np.float32))
+    # the cache stores the CHECKPOINT's canonical f16 rounding, regardless
+    # of the runtime dtype of the run that wrote it (a bf16-writer cache
+    # must not degrade a later f32 reader to 8 mantissa bits)
     cfg2, p2 = load_checkpoint(ckpt, dtype=jnp.float32)
     assert cfg2 == cfg1
-    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+    for s, b in zip(jax.tree.leaves(src), jax.tree.leaves(p2)):
         assert b.dtype == jnp.float32
-        want = np.asarray(a, np.float32).astype(np.float16).astype(np.float32)
+        want = np.asarray(s, np.float32).astype(np.float16).astype(np.float32)
         np.testing.assert_array_equal(want, np.asarray(b))
 
 

@@ -327,6 +327,64 @@ def test_int8_reproducible_across_cache_states(tmp_path):
             np.asarray(a, np.float32), np.asarray(b, np.float32))
 
 
+def test_int8_independent_of_cache_writer_dtype(tmp_path):
+    """Caches must hold the checkpoint's canonical f16 rounding regardless
+    of the runtime dtype of the run that wrote them: quantizing warm from
+    caches written by an f32 run must equal quantizing cold from the .pt.
+    (Regression: converting at the runtime dtype wrote f16(bf16(x)) caches
+    from bf16 runs but f16(x) from f32 runs, so the same checkpoint gave
+    two different int8 models depending on who populated the cache.)"""
+    from matrix_eyes_tpu.pt.loader import load_checkpoint
+
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=38)
+    path = str(tmp_path / "m.pt")
+    torch.save(tm.state_dict(), path)
+
+    # an f32 run writes the float caches
+    load_checkpoint(path, dtype=jnp.float32, convert_checkpoints=True)
+    # warm int8: quantizes from those caches
+    _, p_warm = load_checkpoint(path, dtype=jnp.bfloat16, quantize_int8=True)
+
+    # cold int8: same checkpoint, no caches anywhere
+    cold_dir = tmp_path / "cold"
+    cold_dir.mkdir()
+    path2 = str(cold_dir / "m.pt")
+    torch.save(tm.state_dict(), path2)
+    _, p_cold = load_checkpoint(path2, dtype=jnp.bfloat16, quantize_int8=True)
+
+    l1, t1 = jax.tree.flatten(p_warm)
+    l2, t2 = jax.tree.flatten(p_cold)
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_corrupt_packed_cache_is_loader_error_on_int8_path(tmp_path):
+    """A truncated packed float cache must raise the same clean LoaderError
+    on the int8 warm path as on the float path (regression: the int8 host
+    reader skipped the blob-size check and escaped with a raw ValueError)."""
+    from matrix_eyes_tpu.pt.loader import LoaderError, load_checkpoint
+
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=39)
+    path = str(tmp_path / "m.pt")
+    torch.save(tm.state_dict(), path)
+    load_checkpoint(path, dtype=jnp.bfloat16, convert_checkpoints=True)
+
+    # truncate one packed blob (keep a valid npy header so only the size
+    # validation can catch it)
+    packed = [f for f in os.listdir(tmp_path) if f.endswith(".packed.npy")]
+    assert packed
+    victim = os.path.join(tmp_path, packed[0])
+    blob = np.load(victim)
+    with open(victim, "wb") as f:
+        np.save(f, blob[: blob.size // 2])
+
+    with pytest.raises(LoaderError, match="corrupt|stale"):
+        load_checkpoint(path, dtype=jnp.bfloat16, quantize_int8=True)
+
+
 def test_loader_stale_packed8_scheme_falls_back(ckpt, capsys):
     """An old-scheme packed8 cache must not fail the warm load: the loader
     warns, re-quantizes from the float caches, and (with convert) rewrites
