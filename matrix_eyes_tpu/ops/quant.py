@@ -67,20 +67,26 @@ QUANT_COMPUTE = ("qkv", "fc1")
 QUANT_WEIGHT_ONLY = ("proj", "fc2")
 
 
-def quantize_weight(w: jnp.ndarray, *, contract_axis: int = -2
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def quantize_weight(w, *, contract_axis: int = -2):
     """Symmetric per-output-channel int8 quantization of a weight tensor.
 
     ``w`` is (..., in, out) (the nn.linear layout); the scale is the abs-max
     over the contraction (``in``) axis, one per output channel, so each
     output column keeps its own dynamic range. Returns (int8 weights,
     f32 scales broadcastable against the matmul output).
+
+    Works on host numpy arrays (cache-time quantization in pt/loader.py,
+    where touching jnp would place on the remote device) and on device jax
+    arrays alike -- ONE copy of the amax/scale/round math, so the two paths
+    cannot drift. All ops are exact or correctly-rounded IEEE f32, and both
+    backends round half-to-even, so host and device produce identical codes.
     """
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) / _QMAX
-    q = jnp.clip(jnp.round(wf / scale), -_QMAX, _QMAX).astype(jnp.int8)
-    return q, jnp.squeeze(scale, axis=contract_axis)
+    xp = np if isinstance(w, np.ndarray) else jnp
+    wf = w.astype(xp.float32)
+    amax = xp.max(xp.abs(wf), axis=contract_axis, keepdims=True)
+    scale = xp.maximum(amax, xp.float32(1e-12)) / _QMAX
+    q = xp.clip(xp.round(wf / scale), -_QMAX, _QMAX).astype(xp.int8)
+    return q, xp.squeeze(scale, axis=contract_axis)
 
 
 def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,6 +133,21 @@ def is_quantized_blocks(blocks: Dict[str, Any]) -> bool:
     return "qkv_qw" in blocks or "qkv_gqw" in blocks
 
 
+def _q_transform(blocks: Dict[str, Any], quantize_one) -> Dict[str, Any]:
+    """The ``<name>_w`` -> ``<name>_qw``/``<name>_sw`` key transform shared
+    by the host, spec, and device quantizers (one copy, so a new quantized
+    layer name or container change is one edit). ``quantize_one(w)`` returns
+    the (qw, sw) pair; non-quantized keys pass through."""
+    out: Dict[str, Any] = {}
+    for key, v in blocks.items():
+        name = key[:-2] if key.endswith("_w") else None
+        if name in QUANT_COMPUTE + QUANT_WEIGHT_ONLY:
+            out[f"{name}_qw"], out[f"{name}_sw"] = quantize_one(v)
+        else:
+            out[key] = v
+    return out
+
+
 def quantize_vit_blocks_np(blocks: Dict[str, Any]) -> Dict[str, Any]:
     """Host-side (numpy) quantization of a stacked ViT block dict.
 
@@ -135,19 +156,7 @@ def quantize_vit_blocks_np(blocks: Dict[str, Any]) -> Dict[str, Any]:
     everything else (biases, norms, LayerScale) passes through. Runs on the
     host so the device upload is the int8 blob, not the float weights.
     """
-    out: Dict[str, Any] = {}
-    for key, v in blocks.items():
-        name = key[:-2] if key.endswith("_w") else None
-        if name in QUANT_COMPUTE + QUANT_WEIGHT_ONLY:
-            w = np.asarray(v, dtype=np.float32)
-            amax = np.abs(w).max(axis=-2, keepdims=True)
-            scale = np.maximum(amax, 1e-12) / _QMAX
-            out[f"{name}_qw"] = np.clip(
-                np.rint(w / scale), -_QMAX, _QMAX).astype(np.int8)
-            out[f"{name}_sw"] = np.squeeze(scale, axis=-2)
-        else:
-            out[key] = v
-    return out
+    return _q_transform(blocks, lambda v: quantize_weight(np.asarray(v)))
 
 
 def _map_vit_blocks(tree: Any, fn) -> Any:
@@ -183,19 +192,11 @@ def quantize_spec(spec: Dict[str, Any]) -> Dict[str, Any]:
     (L, in, out) becomes ``<n>_qw`` int8 (L, in, out) + ``<n>_sw`` f32
     (L, out)."""
 
-    def q_blocks(blocks):
-        out = {}
-        for key, v in blocks.items():
-            name = key[:-2] if key.endswith("_w") else None
-            if name in QUANT_COMPUTE + QUANT_WEIGHT_ONLY:
-                out[f"{name}_qw"] = jax.ShapeDtypeStruct(v.shape, jnp.int8)
-                out[f"{name}_sw"] = jax.ShapeDtypeStruct(
-                    v.shape[:-2] + v.shape[-1:], jnp.float32)
-            else:
-                out[key] = v
-        return out
+    def q_one(v):
+        return (jax.ShapeDtypeStruct(v.shape, jnp.int8),
+                jax.ShapeDtypeStruct(v.shape[:-2] + v.shape[-1:], jnp.float32))
 
-    return _map_vit_blocks(spec, q_blocks)
+    return _map_vit_blocks(spec, lambda b: _q_transform(b, q_one))
 
 
 def quantize_params_device(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -204,15 +205,6 @@ def quantize_params_device(params: Dict[str, Any]) -> Dict[str, Any]:
     loaded float weights). Same scheme, same resulting tree structure."""
 
     def q_blocks(blocks):
-        out = {}
-        for key, v in blocks.items():
-            name = key[:-2] if key.endswith("_w") else None
-            if name in QUANT_COMPUTE + QUANT_WEIGHT_ONLY:
-                qw, sw = quantize_weight(v)
-                out[f"{name}_qw"] = qw
-                out[f"{name}_sw"] = sw
-            else:
-                out[key] = v
-        return out
+        return _q_transform(blocks, lambda v: quantize_weight(jnp.asarray(v)))
 
     return jax.jit(lambda p: _map_vit_blocks(p, q_blocks))(params)
