@@ -75,9 +75,12 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--compile-only", action="store_true",
                     help="report mesh + collective stats without timing")
+    ap.add_argument("--config", choices=("full", "tiny"), default="full",
+                    help="tiny: the test-scale model (exercises the identical "
+                         "mesh/sharding path in seconds on a CPU mesh)")
     args = ap.parse_args(argv)
 
-    from matrix_eyes_tpu.config import DEPTH_PRO, RuntimeConfig, enable_compilation_cache
+    from matrix_eyes_tpu.config import DEPTH_PRO, TINY, RuntimeConfig, enable_compilation_cache
     from matrix_eyes_tpu.models import depth_pro
     from matrix_eyes_tpu.models.init import init_params_fast
     from matrix_eyes_tpu.parallel import (
@@ -88,7 +91,7 @@ def main(argv=None) -> None:
     )
 
     enable_compilation_cache()
-    cfg = DEPTH_PRO
+    cfg = TINY if args.config == "tiny" else DEPTH_PRO
     runtime = RuntimeConfig()
     dtype = runtime.resolved_dtype()
     use_flash = runtime.use_flash_attention()
@@ -118,6 +121,7 @@ def main(argv=None) -> None:
 
     record = {
         "metric": f"batched_depth_throughput_b{args.batch}",
+        "config": args.config,
         "mesh": {"data": data, "model": args.model},
         "devices": n_dev,
         "unit": "images/s",

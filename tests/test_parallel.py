@@ -429,3 +429,29 @@ def test_conv_dispatch_shard_mapped_on_data_mesh(monkeypatch):
                                rtol=2e-5, atol=2e-5)
     # multi-device runtime without a mesh context -> None
     assert conv3x3.conv3x3_dispatch(x, w) is None
+
+
+def test_bench_batch_mesh_compile_only(capsys):
+    """The mesh-parameterised throughput bench (scripts/bench_batch.py,
+    BASELINE config 5) must stay runnable: at --config tiny it exercises
+    the identical mesh/sharding/compile path on the virtual (4, 2) mesh and
+    reports the compiled HLO's collective traffic -- Megatron TP over
+    model=2 must show nonzero collective bytes."""
+    import importlib.util
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "bench_batch.py")
+    spec = importlib.util.spec_from_file_location("bench_batch", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.main(["--config", "tiny", "--data", "4", "--model", "2",
+              "--batch", "4", "--compile-only"])
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["mesh"] == {"data": 4, "model": 2}
+    assert record["config"] == "tiny"
+    assert record["collective_bytes_per_step"] > 0
+    kinds = set(record["collectives"])
+    assert kinds & {"all-reduce", "reduce-scatter", "all-gather"}, kinds
