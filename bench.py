@@ -178,6 +178,19 @@ def main() -> None:
                 enc.write_stereo_rows(s, n, pw)
     png_software = (time.perf_counter() - t0) / reps
 
+    # Relay-health control: the dev tunnel's per-dispatch round-trip
+    # latency oscillates ~60x between windows (docs/PERFORMANCE.md).
+    # Record the median of three trivial dispatch+readback round trips so
+    # a recorded bench line is self-diagnosing: when this is >> 1 s, the
+    # e2e/readback numbers above measured the relay, not the software.
+    tiny = jnp.zeros((8,), jnp.float32)
+    rts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(jnp.sum(tiny + jnp.float32(i)))
+        rts.append(time.perf_counter() - t0)
+    dispatch_rt = sorted(rts)[1]
+
     print(json.dumps({
         "metric": "photo1536_to_depth_stereogram_wall_clock",
         "value": round(elapsed, 4),
@@ -190,6 +203,9 @@ def main() -> None:
         # attribution: infra floor vs software cost (see comments above)
         "readback_floor_s": round(readback_floor, 4),
         "png_software_s": round(png_software, 4),
+        # relay-health control (median trivial dispatch round trip); a
+        # value >> 1 s marks a degraded tunnel window -- re-run later
+        "relay_dispatch_rt_s": round(dispatch_rt, 4),
     }))
 
 
