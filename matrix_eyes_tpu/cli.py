@@ -255,7 +255,8 @@ def run(args: Args, progress=None) -> None:
 
     aot.prefetch_async((
         "preprocess", "fwd_fov" if need_fov else "fwd_fnorm",
-        "stereogram_split", "stereogram_bands", "stereogram",
+        "stereogram_noise", "stereogram_shift", "stereogram_bands",
+        "stereogram",
         "render_depthmap_bands", "render_depthmap",
     ))
     cfg, params = load_checkpoint(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,71 @@ def band_bounds(h: int, band_rows: int):
     return [(lo, min(lo + band_rows, h)) for lo in range(0, h, band_rows)]
 
 
+def _split_geometry(out_w: int, amplitude: float):
+    """(dm, pw) when the compact (shift, noise) stereogram form applies,
+    else None (degenerate pw == 0, the self-link ``wide`` case, or shifts
+    over 255 -- callers fall back to the banded RGB path)."""
+    dm, pw = stereogram_geometry(out_w, amplitude)
+    if pw == 0 or _max_shift(dm) > 255:
+        return None
+    if _max_shift(dm) + 1 > pw:  # wide: self-linking pixels keep own noise
+        return None
+    return dm, pw
+
+
+class StereogramNoisePrefetch(NamedTuple):
+    """Noise bands dispatched ahead of time (see prefetch_stereogram_noise);
+    the geometry fields let synthesize_stereogram_split reject a prefetch
+    that does not match the stereogram it is asked to build."""
+    out_h: int
+    out_w: int
+    amplitude: float
+    seed: int
+    band_rows: int
+    bands: tuple
+
+
+def prefetch_stereogram_noise(
+    out_h: int,
+    out_w: int,
+    amplitude: float,
+    seed: int = 0,
+    band_rows: int = 256,
+) -> "StereogramNoisePrefetch | None":
+    """Dispatch the stereogram's noise program and start its device->host
+    transfers NOW.
+
+    The noise depends only on (seed, output shape) -- not on the image --
+    so a caller that knows the output geometry before running the model
+    (the CLI does: it has decoded the source) can move the ~3*pw bytes/row
+    of noise over the link while the device is busy with the forward pass,
+    leaving only the shift plane (~1 byte/pixel) to read back afterwards.
+    Returns None when the compact form doesn't apply.
+    """
+    from matrix_eyes_tpu import aot
+
+    geo = _split_geometry(out_w, amplitude)
+    if geo is None:
+        return None
+    _, pw = geo
+    key = jax.random.PRNGKey(seed)
+    bounds = band_bounds(out_h, band_rows)
+
+    def synth_noise(key):
+        noise = jax.random.randint(key, (out_h, pw, 3), 0, 256, dtype=jnp.uint8)
+        return tuple(noise[lo:hi] for lo, hi in bounds)
+
+    bands = aot.call_cached(
+        "stereogram_noise", synth_noise, (key,),
+        salt=f"{out_h}|pw={pw}|br={band_rows}")
+    for b in bands:
+        cth = getattr(b, "copy_to_host_async", None)
+        if cth is not None:
+            cth()
+    return StereogramNoisePrefetch(out_h, out_w, amplitude, seed, band_rows,
+                                   tuple(bands))
+
+
 def synthesize_stereogram_split(
     depth: jnp.ndarray,
     out_h: int,
@@ -151,6 +217,7 @@ def synthesize_stereogram_split(
     amplitude: float,
     seed: int = 0,
     band_rows: int = 256,
+    noise: "StereogramNoisePrefetch | None" = None,
 ):
     """The stereogram in its compact generative form: per-pixel link shifts
     (u8) and per-row noise seed pixels, as row-band device arrays.
@@ -164,31 +231,40 @@ def synthesize_stereogram_split(
     band while later bands are still in flight. The resulting file is
     byte-identical to encoding the device-resolved image.
 
+    ``noise`` is an optional prefetch from prefetch_stereogram_noise; a
+    prefetch whose geometry/seed does not match is ignored (regenerated
+    here), so passing a stale one is safe. Noise and shift are separate
+    programs either way: the noise transfer starts before the shift
+    program runs, and with a prefetch it starts before the model forward.
+
     Returns (pattern_width, [(shift_band (n, W) u8, noise_band (n, pw, 3)
-    u8), ...]) or None when the compact form doesn't apply (degenerate
-    pw == 0, the self-link ``wide`` case, or shifts over 255 -- callers
-    fall back to the banded RGB path).
+    u8), ...]) or None when the compact form doesn't apply.
     """
     from matrix_eyes_tpu import aot
 
-    dm, pw = stereogram_geometry(out_w, amplitude)
-    if pw == 0 or _max_shift(dm) > 255:
+    geo = _split_geometry(out_w, amplitude)
+    if geo is None:
         return None
-    if _max_shift(dm) + 1 > pw:  # wide: self-linking pixels keep own noise
-        return None
-    key = jax.random.PRNGKey(seed)
+    dm, pw = geo
     bounds = band_bounds(out_h, band_rows)
 
-    def synth(depth, key):
+    if noise is not None and (noise.out_h, noise.out_w, noise.amplitude,
+                              noise.seed, noise.band_rows) != (
+                                  out_h, out_w, amplitude, seed, band_rows):
+        noise = None
+    if noise is None:
+        noise = prefetch_stereogram_noise(out_h, out_w, amplitude, seed,
+                                          band_rows)
+
+    def synth_shift(depth):
         dnorm = _norm_depth(depth, out_h, out_w)
         shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.uint8)
-        noise = jax.random.randint(key, (out_h, pw, 3), 0, 256, dtype=jnp.uint8)
-        return tuple((shift[lo:hi], noise[lo:hi]) for lo, hi in bounds)
+        return tuple(shift[lo:hi] for lo, hi in bounds)
 
-    pairs = aot.call_cached(
-        "stereogram_split", synth, (depth, key),
+    shift_bands = aot.call_cached(
+        "stereogram_shift", synth_shift, (depth,),
         salt=f"{out_h}x{out_w}|pw={pw}|dm={dm}|br={band_rows}")
-    return pw, pairs
+    return pw, tuple(zip(shift_bands, noise.bands))
 
 
 def synthesize_stereogram_bands(

@@ -34,6 +34,19 @@ CLIP_DEPTH_MAX = 250.0
 BAND_ROWS = 256
 
 
+def stereogram_size(original_size: Tuple[int, int],
+                    resize_scale: Optional[float]) -> Tuple[int, int]:
+    """(ow, oh) of the stereogram output -- the source size under the
+    reference's f32::round (half away from zero) scaling (output.rs:154).
+    Module-level so the pipeline can derive the output geometry (for the
+    noise prefetch) before the model forward has produced a DepthMap."""
+    ow, oh = original_size
+    if resize_scale is not None:
+        ow = int(np.floor(np.float32(ow) * np.float32(resize_scale) + 0.5))
+        oh = int(np.floor(np.float32(oh) * np.float32(resize_scale) + 0.5))
+    return ow, oh
+
+
 class ImageOutputFormat(enum.Enum):
     DEPTH_MAP = "depthmap"
     STEREOGRAM = "stereogram"
@@ -110,12 +123,7 @@ class DepthMap:
             salt=f"{oh}x{ow}|br={BAND_ROWS}")
 
     def _stereogram_size(self, resize_scale: Optional[float]) -> Tuple[int, int]:
-        ow, oh = self.original_size
-        if resize_scale is not None:
-            # Rust f32::round (half away from zero) on the scaled size
-            ow = int(np.floor(np.float32(ow) * np.float32(resize_scale) + 0.5))
-            oh = int(np.floor(np.float32(oh) * np.float32(resize_scale) + 0.5))
-        return ow, oh
+        return stereogram_size(self.original_size, resize_scale)
 
     def render_stereogram(self, resize_scale: Optional[float], amplitude: float,
                           seed: int = 0) -> np.ndarray:
@@ -131,12 +139,13 @@ class DepthMap:
                                            band_rows=BAND_ROWS)
 
     def render_stereogram_split(self, resize_scale: Optional[float],
-                                amplitude: float, seed: int = 0):
+                                amplitude: float, seed: int = 0,
+                                noise=None):
         from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_split
 
         ow, oh = self._stereogram_size(resize_scale)
         return synthesize_stereogram_split(self.data, oh, ow, amplitude, seed,
-                                           band_rows=BAND_ROWS)
+                                           band_rows=BAND_ROWS, noise=noise)
 
     # -- dispatch (output.rs:100-121) --------------------------------------
 
@@ -149,6 +158,7 @@ class DepthMap:
         resize_scale: Optional[float] = None,
         amplitude: float = 1.0 / 16.0,
         seed: int = 0,
+        stereo_noise=None,
     ) -> None:
         from matrix_eyes_tpu.output import png
 
@@ -172,7 +182,7 @@ class DepthMap:
                 # compact (shift, noise) form: ~2.2x less device->host
                 # traffic; the native encoder replays the linker scan
                 split = self.render_stereogram_split(resize_scale, amplitude,
-                                                     seed)
+                                                     seed, noise=stereo_noise)
             if split is not None:
                 pw, pairs = split
                 png.save_stereogram_split(pairs, destination_path, pw,

@@ -109,6 +109,27 @@ def extract_depth(
         raise stage_error("Failed to load source image", err) from err
     pl_pre.report_status(1.0)
 
+    # Stereogram noise prefetch: the noise plane depends only on
+    # (seed, output geometry), both known before the forward runs, so its
+    # device->host transfer (~3*pw bytes/row, a third of the compact
+    # stereogram's bytes) rides the link while the device computes depth.
+    # Purely an overlap optimization -- synthesize_stereogram_split
+    # regenerates on any mismatch, so failure here can only cost time.
+    stereo_noise = None
+    if (image_format == ImageOutputFormat.STEREOGRAM
+            and destination_path.lower().endswith(".png")):
+        try:
+            from matrix_eyes_tpu.ops.stereogram import prefetch_stereogram_noise
+            from matrix_eyes_tpu.output import png
+            from matrix_eyes_tpu.output.depthmap import BAND_ROWS, stereogram_size
+
+            if png.split_supported():
+                ow, oh = stereogram_size(src.original_size, resize_scale)
+                stereo_noise = prefetch_stereogram_noise(
+                    oh, ow, stereo_amplitude, runtime.seed, BAND_ROWS)
+        except Exception:
+            stereo_noise = None
+
     pl_net.update_message("extracting depth")
     try:
         use_flash = runtime.use_flash_attention()
@@ -166,6 +187,7 @@ def extract_depth(
                 resize_scale=resize_scale,
                 amplitude=stereo_amplitude,
                 seed=runtime.seed,
+                stereo_noise=stereo_noise,
             )
     except Exception as err:
         raise stage_error("Failed to output result", err) from err

@@ -111,6 +111,45 @@ def test_stereo_split_png_identical_to_full_render(tmp_path):
         np.testing.assert_array_equal(_decode(p), full)
 
 
+def test_stereo_split_with_noise_prefetch(tmp_path):
+    """Prefetched noise (dispatched before the forward in the pipeline)
+    must be consumed as-is when its geometry matches -- same PNG bytes as
+    the non-prefetched path -- and silently regenerated when it doesn't."""
+    from matrix_eyes_tpu.ops.stereogram import (
+        prefetch_stereogram_noise,
+        synthesize_stereogram,
+        synthesize_stereogram_split,
+    )
+    from matrix_eyes_tpu.output import png
+
+    rng = np.random.RandomState(10)
+    depth = jnp.asarray(rng.uniform(1 / 250, 1 / 0.1, (32, 48)).astype(np.float32))
+    oh, ow, amp = 64, 96, 1 / 16.0
+    full = np.asarray(synthesize_stereogram(depth, oh, ow, amp, seed=5))
+
+    noise = prefetch_stereogram_noise(oh, ow, amp, seed=5, band_rows=16)
+    assert noise is not None
+    pw, pairs = synthesize_stereogram_split(depth, oh, ow, amp, seed=5,
+                                            band_rows=16, noise=noise)
+    # the prefetch's own band objects must be what gets encoded
+    assert all(n is pn for (_, n), pn in zip(pairs, noise.bands))
+    p = str(tmp_path / "prefetched.png")
+    png.save_stereogram_split(pairs, p, pw)
+    np.testing.assert_array_equal(_decode(p), full)
+
+    # wrong seed / wrong geometry -> the stale prefetch is ignored
+    stale = prefetch_stereogram_noise(oh, ow, amp, seed=6, band_rows=16)
+    pw2, pairs2 = synthesize_stereogram_split(depth, oh, ow, amp, seed=5,
+                                              band_rows=16, noise=stale)
+    assert all(n is not sn for (_, n), sn in zip(pairs2, stale.bands))
+    p2 = str(tmp_path / "stale_ignored.png")
+    png.save_stereogram_split(pairs2, p2, pw2)
+    np.testing.assert_array_equal(_decode(p2), full)
+
+    # prefetch refuses geometries where the compact form doesn't apply
+    assert prefetch_stereogram_noise(16, 16, 0.0) is None
+
+
 def test_stereo_split_fallbacks():
     from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_split
 
