@@ -63,15 +63,17 @@ class MatrixEyes:
 
     # -- depth -------------------------------------------------------------
 
-    def _load(self, image: Union[str, np.ndarray],
+    def _load(self, image: Union[str, np.ndarray, SourceImage],
               focal_length_35mm: Optional[float]) -> SourceImage:
+        if isinstance(image, SourceImage):
+            return image
         if isinstance(image, str):
             return load_source_image(image, focal_length_35mm)
         rgb = np.asarray(image, dtype=np.uint8)
         return SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
                            focal_length_35mm=focal_length_35mm)
 
-    def depth_map(self, image: Union[str, np.ndarray],
+    def depth_map(self, image: Union[str, np.ndarray, SourceImage],
                   focal_length_35mm: Optional[float] = None) -> DepthMap:
         """Run the network; returns the device-resident DepthMap."""
         src = self._load(image, focal_length_35mm)
@@ -179,7 +181,16 @@ class MatrixEyes:
         stereo_amplitude: float = 1.0 / 16.0,
     ) -> None:
         """Photo -> output file, same dispatch as the CLI (output.rs:100-121)."""
-        dm = self.depth_map(source_path, focal_length_35mm)
+        from matrix_eyes_tpu.output.depthmap import maybe_prefetch_stereo_noise
+
+        src = self._load(source_path, focal_length_35mm)
+        # noise prefetch before the forward: its transfer overlaps the
+        # device compute (see pipeline.extract_depth / ops.stereogram)
+        stereo_noise = maybe_prefetch_stereo_noise(
+            destination_path, ImageOutputFormat(image_format),
+            src.original_size, resize_scale, stereo_amplitude,
+            self.runtime.seed)
+        dm = self.depth_map(src, focal_length_35mm)
         dm.output_image(
             destination_path,
             source_path,
@@ -188,4 +199,5 @@ class MatrixEyes:
             resize_scale=resize_scale,
             amplitude=stereo_amplitude,
             seed=self.runtime.seed,
+            stereo_noise=stereo_noise,
         )

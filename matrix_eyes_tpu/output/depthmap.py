@@ -47,6 +47,32 @@ def stereogram_size(original_size: Tuple[int, int],
     return ow, oh
 
 
+def maybe_prefetch_stereo_noise(destination_path: str, image_format,
+                                original_size: Tuple[int, int],
+                                resize_scale: Optional[float],
+                                amplitude: float, seed: int):
+    """Best-effort stereogram noise prefetch, called BEFORE the model
+    forward so the noise plane's device->host transfer rides the link
+    while the device computes depth (ops.stereogram.prefetch_stereogram_
+    noise). Returns None whenever the compact save path would not engage;
+    a failure can only cost time -- synthesize_stereogram_split
+    regenerates on any mismatch."""
+    if image_format != ImageOutputFormat.STEREOGRAM:
+        return None
+    if not destination_path.lower().endswith(".png"):
+        return None
+    try:
+        from matrix_eyes_tpu.ops.stereogram import prefetch_stereogram_noise
+        from matrix_eyes_tpu.output import png
+
+        if not png.split_supported():
+            return None
+        ow, oh = stereogram_size(original_size, resize_scale)
+        return prefetch_stereogram_noise(oh, ow, amplitude, seed, BAND_ROWS)
+    except Exception:
+        return None
+
+
 class ImageOutputFormat(enum.Enum):
     DEPTH_MAP = "depthmap"
     STEREOGRAM = "stereogram"

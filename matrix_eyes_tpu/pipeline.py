@@ -113,22 +113,11 @@ def extract_depth(
     # (seed, output geometry), both known before the forward runs, so its
     # device->host transfer (~3*pw bytes/row, a third of the compact
     # stereogram's bytes) rides the link while the device computes depth.
-    # Purely an overlap optimization -- synthesize_stereogram_split
-    # regenerates on any mismatch, so failure here can only cost time.
-    stereo_noise = None
-    if (image_format == ImageOutputFormat.STEREOGRAM
-            and destination_path.lower().endswith(".png")):
-        try:
-            from matrix_eyes_tpu.ops.stereogram import prefetch_stereogram_noise
-            from matrix_eyes_tpu.output import png
-            from matrix_eyes_tpu.output.depthmap import BAND_ROWS, stereogram_size
+    from matrix_eyes_tpu.output.depthmap import maybe_prefetch_stereo_noise
 
-            if png.split_supported():
-                ow, oh = stereogram_size(src.original_size, resize_scale)
-                stereo_noise = prefetch_stereogram_noise(
-                    oh, ow, stereo_amplitude, runtime.seed, BAND_ROWS)
-        except Exception:
-            stereo_noise = None
+    stereo_noise = maybe_prefetch_stereo_noise(
+        destination_path, image_format, src.original_size, resize_scale,
+        stereo_amplitude, runtime.seed)
 
     pl_net.update_message("extracting depth")
     try:
