@@ -157,11 +157,15 @@ def main() -> None:
         me_png.save_stereogram_split(tuple(zip(shifts, noise.bands)),
                                      out_path, pw)
 
-    one_e2e(jnp.int32(0), 10**6)  # warmup (compiles both programs)
+    # noise seeds from the run's own RNG: unique per iteration AND per
+    # bench run, so a result-caching relay can't serve the noise bands
+    # from a previous run (the methodology in the module docstring)
+    seed_base = int(rng.randint(0, 2**31 - 1 - iters - 256))
+    one_e2e(jnp.int32(0), seed_base)  # warmup (compiles both programs)
     e2e_iters = max(2, iters // 2)
     t0 = time.perf_counter()
     for i, p in enumerate(perturbs[:e2e_iters]):
-        one_e2e(p, i + 1)  # fresh seed: unique noise per iteration
+        one_e2e(p, seed_base + 1 + i)
     e2e_elapsed = (time.perf_counter() - t0) / e2e_iters
 
     # Attribution: (a) the raw readback floor -- same arrays, no encode --
@@ -172,7 +176,8 @@ def main() -> None:
     # remains.
     t0 = time.perf_counter()
     for i, p in enumerate(perturbs[:2]):
-        noise = prefetch_stereogram_noise(src_h, src_w, amplitude, 100 + i)
+        noise = prefetch_stereogram_noise(src_h, src_w, amplitude,
+                                          seed_base + 128 + i)
         shifts = device_pipeline_shift(photo, p)
         for s in shifts:
             s.copy_to_host_async()

@@ -66,7 +66,14 @@ class MatrixEyes:
     def _load(self, image: Union[str, np.ndarray, SourceImage],
               focal_length_35mm: Optional[float]) -> SourceImage:
         if isinstance(image, SourceImage):
-            return image
+            if focal_length_35mm is None:
+                return image
+            # an explicit focal override wins over whatever the
+            # pre-loaded source carries (matches the path-loading branch)
+            import dataclasses
+
+            return dataclasses.replace(image,
+                                       focal_length_35mm=focal_length_35mm)
         if isinstance(image, str):
             return load_source_image(image, focal_length_35mm)
         rgb = np.asarray(image, dtype=np.uint8)

@@ -57,11 +57,11 @@ def maybe_prefetch_stereo_noise(destination_path: str, image_format,
     noise). Returns None whenever the compact save path would not engage;
     a failure can only cost time -- synthesize_stereogram_split
     regenerates on any mismatch."""
-    if image_format != ImageOutputFormat.STEREOGRAM:
-        return None
-    if not destination_path.lower().endswith(".png"):
-        return None
     try:
+        if ImageOutputFormat(image_format) != ImageOutputFormat.STEREOGRAM:
+            return None
+        if not destination_path.lower().endswith(".png"):
+            return None
         from matrix_eyes_tpu.ops.stereogram import prefetch_stereogram_noise
         from matrix_eyes_tpu.output import png
 

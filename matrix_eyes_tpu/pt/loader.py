@@ -732,18 +732,23 @@ def load_checkpoint(
             converted = convert_state_dict(cfg, read_flat(), dtype=jnp.float32,
                                            parts=tuple(uncached), device=False)
         for part in uncached:
+            # drop the part's canonical-f32 tree as soon as it is consumed:
+            # at f32 the full converted model is ~2x the runtime bytes, and
+            # holding every part while later parts build their runtime-width
+            # copies would double peak host memory on the 0.95 B model
+            host_part = converted.pop(part)
             if convert_checkpoints:
                 if progress is not None:
                     progress.update_message(f"caching converted {part}")
                 _save_cache_nonfatal(
-                    lambda: (save_part_cache(_cache_path(checkpoint_path, part),
-                                             converted[part]),
-                             save_packed_cache(checkpoint_path, part,
-                                               converted[part])),
+                    lambda hp=host_part: (
+                        save_part_cache(_cache_path(checkpoint_path, part), hp),
+                        save_packed_cache(checkpoint_path, part, hp)),
                     f"weight caches for '{part}'")
             if quantize_int8:
                 with timings.span(f"quantize {part} (host)"):
-                    qhost = quantize_params(_f16_convention(converted[part]))
+                    qhost = quantize_params(_f16_convention(host_part))
+                del host_part
                 if convert_checkpoints:
                     _save_cache_nonfatal(
                         lambda part=part, qhost=qhost: save_packed8_cache(
@@ -756,8 +761,9 @@ def load_checkpoint(
                 with timings.span(f"weights {part} -> device"):
                     # cast on the host so the upload is runtime-width bytes,
                     # not the 4-byte canonical conversion
-                    out[part] = _place_part(
-                        _cast_float_leaves(converted[part], dtype), dtype)
+                    runtime_part = _cast_float_leaves(host_part, dtype)
+                    del host_part
+                    out[part] = _place_part(runtime_part, dtype)
         if convert_checkpoints:
             def write_config():
                 d = dataclasses.asdict(cfg)

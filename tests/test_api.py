@@ -115,3 +115,23 @@ def test_api_batch_on_mesh(env):
     assert mesh in me._sharded_params
     got2 = me.inverse_depth_batch(imgs, focal_length_35mm=30.0, mesh=mesh)
     np.testing.assert_array_equal(got, got2)
+
+
+def test_api_focal_override_on_preloaded_source(env):
+    """An explicit focal_length_35mm must win even when the caller passes an
+    already-loaded SourceImage (regression: _load returned it unchanged,
+    silently dropping the override and routing through the FOV head)."""
+    d, ckpt, src, img = env
+    from matrix_eyes_tpu.io.image import SourceImage
+
+    me = MatrixEyes(ckpt)
+    rgb = np.asarray(img, dtype=np.uint8)
+    pre = SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
+                      focal_length_35mm=None)
+    want = me.inverse_depth(rgb, focal_length_35mm=30.0)
+    got = me.inverse_depth(pre, focal_length_35mm=30.0)
+    np.testing.assert_array_equal(got, want)
+    # and without an override the pre-loaded source's own focal is kept
+    pre2 = SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
+                       focal_length_35mm=30.0)
+    np.testing.assert_array_equal(me.inverse_depth(pre2), want)
