@@ -40,7 +40,12 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from matrix_eyes_tpu.config import DEPTH_PRO, RuntimeConfig, enable_compilation_cache
+    from matrix_eyes_tpu.config import (
+        DEPTH_PRO,
+        TINY,
+        RuntimeConfig,
+        enable_compilation_cache,
+    )
 
     enable_compilation_cache()
     from matrix_eyes_tpu.models import depth_pro
@@ -49,7 +54,11 @@ def main() -> None:
     from matrix_eyes_tpu.output.depthmap import _clamp_inverse_depth
     from matrix_eyes_tpu.pipeline import preprocess_image
 
-    cfg = DEPTH_PRO
+    # BENCH_CONFIG=tiny + BENCH_PHOTO=HxW: the test-scale smoke mode --
+    # the suite runs the whole script (same code path, same JSON contract)
+    # on CPU in seconds, so a refactor can't silently break the artifact
+    # the driver records (tests/test_bench_smoke.py)
+    cfg = TINY if os.environ.get("BENCH_CONFIG") == "tiny" else DEPTH_PRO
     # BENCH_DTYPE=f32 times the reference-grade path (true-f32 matmul
     # precision on TPU); BENCH_DTYPE=int8 the quantized serving layout;
     # default is the shipping config (bf16 on TPU)
@@ -69,7 +78,8 @@ def main() -> None:
         params = jax.block_until_ready(quantize_params_device(params))
 
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
-    src_h, src_w = 3024, 4032  # typical 12MP photo
+    src_h, src_w = (int(x) for x in
+                    os.environ.get("BENCH_PHOTO", "3024x4032").split("x"))
     photo = jnp.asarray(rng.randint(0, 256, size=(src_h, src_w, 3), dtype=np.uint8))
     photo.block_until_ready()
     amplitude = 1.0 / 16.0
