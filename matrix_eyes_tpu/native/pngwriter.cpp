@@ -171,6 +171,14 @@ struct Encoder {
       s.noise.shrink_to_fit();
     }
     const int64_t flen = s.nrows * (rb + 1);
+    // one deflate() call per stripe: zlib's avail_in/avail_out are uInt,
+    // so a stripe over ~2 GiB would silently truncate and corrupt the
+    // stream -- fail it instead (callers band at 256 rows; this only
+    // guards a pathological single-stripe image)
+    if (flen > (int64_t(1) << 31) - 64) {
+      s.failed = true;
+      return;
+    }
     std::vector<uint8_t> filtered((size_t)flen);
     const uint8_t* prior = s.prior.data();
     for (int64_t r = 0; r < s.nrows; ++r) {
