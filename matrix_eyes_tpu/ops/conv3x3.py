@@ -61,6 +61,13 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
     acc_ref[:] = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
                                   (rows * W, cout))
 
+    # NOTE: the ReLU is deliberately applied per tap on a fresh ref read.
+    # Hoisting `x0 = relu(x0_ref[:])` before the tap loop (read + ReLU
+    # once, slice the value nine times) looks strictly cheaper but
+    # MATERIALISES the whole block as a Mosaic stack value: measured
+    # 20.84 MB scoped-VMEM (4.84 over the 16 MB limit) at the admitted
+    # bf16 rows=4 768^2 x 256 config -- a compile failure, not a win. The
+    # per-tap ref reads are what keep the admission gate's arithmetic true.
     def tap(tile, u, v, out_row0):
         r = tile.shape[0]
         tile = relu(tile)
@@ -270,7 +277,10 @@ def conv3x3_dispatch(x: jnp.ndarray, w: jnp.ndarray, b=None, skip=None,
     """
     import os
 
-    if "MATRIX_EYES_NO_PALLAS_CONV" in os.environ:
+    # value-based like every MATRIX_EYES_* flag ("" and "0" mean unset) --
+    # and identical to what the AOT cache salts on (aot.py), so a cached
+    # program can never disagree with the dispatch decision
+    if os.environ.get("MATRIX_EYES_NO_PALLAS_CONV", "") not in ("", "0"):
         return None
     if jax.default_backend() != "tpu":
         return None

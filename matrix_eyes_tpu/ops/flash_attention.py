@@ -214,6 +214,12 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     BlockSpec column indexing into the qkv buffer (zero data movement).
     """
     B, N, C3 = qkv.shape
+    if C3 % 3 != 0 or (C3 // 3) % num_heads != 0:
+        # floor division below would otherwise silently misalign the
+        # BlockSpec column indexing into the [q|k|v] sections
+        raise ValueError(
+            f"qkv feature axis {C3} must be 3 * num_heads * head_dim "
+            f"(num_heads={num_heads})")
     C = C3 // 3
     D = C // num_heads
     H = num_heads

@@ -37,11 +37,11 @@ LANES = 128
 def _linker_kernel(shift_ref, noise_ref, out_ref, *, pw: int, win: int):
     w = out_ref.shape[0]
 
-    def copy_noise(x, _):
-        out_ref[pl.ds(x, 1), :] = noise_ref[pl.ds(x, 1), :]
-        return 0
-
-    jax.lax.fori_loop(0, min(pw, w), copy_noise, 0)
+    # pw and w are static, so the noise head is one bulk VMEM copy (a
+    # fori_loop of (1, 128)-row copies serializes pw dependent moves)
+    head = min(pw, w)
+    if head > 0:
+        out_ref[:head, :] = noise_ref[:head, :]
 
     def link(x, _):
         s = shift_ref[pl.ds(x, 1), :]  # (1, 128)
@@ -57,7 +57,18 @@ def _linker_kernel(shift_ref, noise_ref, out_ref, *, pw: int, win: int):
 @functools.partial(jax.jit, static_argnames=("pw", "win", "interpret"))
 def linker_scan_tpu(shift: jnp.ndarray, noise: jnp.ndarray, pw: int, win: int,
                     interpret: bool = False) -> jnp.ndarray:
-    """shift: (H, W) int32; noise: (H, >=pw, 3) uint8. Returns (H, W, 3) u8."""
+    """shift: (H, W) int32; noise: (H, >=pw, 3) uint8. Returns (H, W, 3) u8.
+
+    Precondition: ``1 <= win <= pw`` -- the scan resolves ``out[x] =
+    out[x - pw + shift]`` with ``shift < win``, so a window wider than the
+    pattern would read rows at or beyond ``x`` that are not written yet
+    (the ``wide`` self-link case, which callers route to the XLA
+    pointer-doubling path instead). Enforced here because a violation is
+    silent pixel corruption, not an error."""
+    if not 1 <= win <= pw:
+        raise ValueError(
+            f"linker_scan_tpu requires 1 <= win <= pw, got win={win} pw={pw} "
+            "(the wide self-link case must use the XLA pointer-doubling path)")
     H, W = shift.shape
     h_pad = (H + LANES - 1) // LANES * LANES
 
