@@ -63,14 +63,18 @@ def _attention_qkv(qkv: jnp.ndarray, H: int, D: int, scale: float,
     """Attention on a checkpoint-layout (B, N, 3C) qkv (the non-TP paths,
     float and int8 alike): the fused Pallas kernel reads heads straight out
     of the qkv layout -- no (3, B, H, N, D) transpose, no head-merge after.
-    _flash_sharding decides whether the kernel must be shard_mapped over a
+    The token axis arrives padded per the carry-dtype policy (sublane-
+    aligned 592 for a bf16 carry, lane-aligned 640 for f32; see
+    forward_features): the kernel sublane-rounds its own block and masks
+    keys past ``n_valid`` (ops/flash_attention.py), so no lane-multiple
+    padding is required here. _flash_sharding decides whether the kernel must be shard_mapped over a
     data-parallel mesh (a pallas_call is opaque to the GSPMD partitioner,
     so inside a sharded computation it cannot sit bare); where the geometry
     or context rules the kernel out, XLA attention takes over."""
     from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
 
     B, N, C3 = qkv.shape
-    if use_flash and N % 128 == 0 and qkv_fusable(H, D):
+    if use_flash and qkv_fusable(H, D):
         data_mesh = _flash_sharding(B)
         if data_mesh not in (None, True):
             from jax.sharding import PartitionSpec as P
@@ -105,7 +109,7 @@ def _attention_tp(qkv: jnp.ndarray, tp_ctx, k_tp: int, H: int, D: int,
     H_loc = H // k_tp
     mesh, data_axis, model_axis, _ = tp_ctx
 
-    if use_flash and N % 128 == 0 and qkv_fusable(H_loc, D):
+    if use_flash and qkv_fusable(H_loc, D):
         from jax.sharding import PartitionSpec as P
 
         from matrix_eyes_tpu.parallel.compat import shard_map
@@ -122,7 +126,8 @@ def _attention_tp(qkv: jnp.ndarray, tp_ctx, k_tp: int, H: int, D: int,
     # group-major head concatenation equals standard head order.
     q5 = (qkv.reshape(B, N, k_tp, 3, H_loc, D)
           .transpose(3, 0, 2, 4, 1, 5).reshape(3, B, H, N, D))
-    o = attention(q5[0], q5[1], q5[2], scale, use_flash=False, n_valid=n_valid)
+    o = attention(q5[0], q5[1], q5[2], scale, use_flash=False,
+                  n_valid=n_valid)
     return o.transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
@@ -308,16 +313,27 @@ def forward_features(
     if cfg.vit_f32_residual and jnp.dtype(out_dt).itemsize < 4:
         tokens = tokens.astype(jnp.float32)
 
-    # With the flash kernel, pad the token axis to a lane multiple ONCE for
-    # all blocks (instead of per-attention pad/slice -- that would move the
-    # full activation through HBM twice per block). Padded rows carry
-    # zeros; real tokens never attend to them (the kernel masks keys past
-    # n_valid), so they are inert and sliced off at the end.
+    # Token-axis padding policy (measured on v5e, docs/PERFORMANCE.md
+    # round-3 token-alignment note). The flash kernel itself only needs a
+    # SUBLANE-aligned (16-row) token count -- it takes the axis as one
+    # block, and Mosaic pads the score tile to full lane tiles internally
+    # either way -- so a bf16 carry pads 577 -> 592 (2.6% padded rows)
+    # instead of 640 (10.9%) and saves ~0.2 ms/block of padded-row matmul
+    # FLOPs (a raw unpadded 577 is NOT better: row-tile padding means the
+    # matmuls compute 592 rows regardless, and unaligned layouts add
+    # relayout copies on top). The f32 residual carry is the exception:
+    # under lax.scan, XLA only fuses the f32 carry's cast/eltwise chain
+    # cleanly when the token axis is a full LANE multiple -- 592/608/624
+    # all measured ~2.5 ms/chain slower than 640 with an f32 carry, with
+    # the isolated (non-scan) block showing the opposite ordering -- so
+    # the f32 carry keeps the 128-multiple pad. Padded rows carry zeros;
+    # the kernel masks keys past n_valid, so they are inert.
     n_valid = None
-    if use_flash and seq % 128 != 0:
-        n_valid = seq
-        pad = (seq + 127) // 128 * 128 - seq
-        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+    if use_flash:
+        align = 128 if tokens.dtype == jnp.float32 else 16
+        if seq % align != 0:
+            n_valid = seq
+            tokens = jnp.pad(tokens, ((0, 0), (0, -seq % align), (0, 0)))
 
     stacked = params["blocks"]
     inters: List[jnp.ndarray] = []

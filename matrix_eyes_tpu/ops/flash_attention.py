@@ -12,9 +12,17 @@ S is 640*640*4 B = 1.6 MB of VMEM -- no online-softmax tiling needed; this
 is the single-block regime where flash attention degenerates to "just never
 touch HBM with the scores".
 
-The wrapper pads the token axis to a lane multiple (577 -> 640) and slices
-the result back; padded key columns are masked to -1e30 before the softmax
-(not -inf, so fully-padded query rows stay finite instead of NaN).
+Lane alignment: the fused qkv kernel takes the token axis as ONE block, so
+a 577-token input simply uses a 640-row block that overhangs the array --
+Mosaic masks the out-of-bounds stores, and the kernel zero-masks the
+overhang rows of k/v before they touch the MXU (out-of-bounds *loads* are
+unspecified garbage, and an Inf/NaN there would poison valid rows through
+the score matrix; garbage q rows are harmless -- each output row depends
+only on its own q row and is dropped by the masked store). The surrounding
+matmuls therefore run at the true 577 tokens (no padded-row FLOPs, no
+pad/slice HBM pass). Padded key columns are masked to -1e30 before the
+softmax (not -inf, so fully-padded query rows stay finite instead of NaN);
+the separate q/k/v entry point (attention_flash) still pads explicitly.
 """
 
 from __future__ import annotations
@@ -87,9 +95,17 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int)
 
 def _attention_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, o_ref, *,
                           scale: float, n_valid: int, heads_per_block: int,
-                          pipelined: bool = True):
+                          zero_tail: bool = False, pipelined: bool = True):
     """Block holds ``heads_per_block`` heads side by side on the feature
     axis (so the block width is a lane multiple); attend each in turn.
+
+    ``zero_tail``: the token block overhangs the array (an unaligned token
+    count, e.g. 577 rows under a 640-row block), so rows >= n_valid of k/v
+    hold unspecified out-of-bounds values and are zeroed before use -- the
+    -1e30 score bias alone cannot save a valid row from an Inf*q = NaN
+    score contributed by garbage keys, and P@V multiplies garbage v rows
+    by exactly-0 weights (0 * Inf = NaN). q is left unmasked: garbage q
+    rows only produce garbage *output* rows, which the masked store drops.
 
     With ``pipelined``, the head loop is software-pipelined: head h+1's
     QK^T (MXU) is issued before head h's softmax (VPU), making the
@@ -100,15 +116,22 @@ def _attention_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, o_ref, *,
     d = qkv_q_ref.shape[2] // heads_per_block
     dt = o_ref.dtype
     ones = jnp.ones((n_pad, 1), dt)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+
+    def tail0(x):
+        if not zero_tail:
+            return x
+        return jnp.where(row < n_valid, x, jnp.zeros((), x.dtype))
 
     def qk(h):
         sl = slice(h * d, (h + 1) * d)
-        return _qk_log2(qkv_q_ref[0, :, sl], qkv_k_ref[0, :, sl],
+        return _qk_log2(qkv_q_ref[0, :, sl], tail0(qkv_k_ref[0, :, sl]),
                         scale, n_valid, ones)
 
     def softmax_pv(s, h):
         sl = slice(h * d, (h + 1) * d)
-        o_ref[0, :, sl] = _softmax_pv(s, qkv_v_ref[0, :, sl], ones).astype(dt)
+        o_ref[0, :, sl] = _softmax_pv(s, tail0(qkv_v_ref[0, :, sl]),
+                                      ones).astype(dt)
 
     if pipelined:
         s_cur = qk(0)
@@ -204,8 +227,11 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     """Fused attention straight from the qkv projection's output layout.
 
     qkv: (B, N, 3*C) with the feature axis ordered [q|k|v] x [head] x [dim]
-    (exactly what ``x @ qkv_w`` produces, vit.rs:60-64). N must be a lane
-    multiple (models/vit.py pads once); ``n_valid`` masks padded keys.
+    (exactly what ``x @ qkv_w`` produces, vit.rs:60-64). N may be any token
+    count: an unaligned N runs under a lane-rounded overhanging block with
+    the garbage rows zero-masked in-kernel (module docstring), so callers
+    never pad -- the surrounding matmuls keep the true token count.
+    ``n_valid`` masks keys past it for callers that DID pre-pad the axis.
     Returns (B, N, C) -- token-major, ready for the output projection.
 
     Compared to ``attention_flash`` this removes every layout change around
@@ -224,8 +250,17 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     D = C // num_heads
     H = num_heads
     n_valid = N if n_valid is None else n_valid
-    if N % 128 != 0:
-        raise ValueError(f"token axis must be lane-aligned, got {N}")
+    # The token block needs only SUBLANE (row-tile) alignment, not lane
+    # alignment: Mosaic pads the (N, N) score tile to full 128-lane tiles
+    # internally either way, so a 592-row block costs the same MXU time as
+    # 640 while the masked key bias keeps the softmax exact. A 16-multiple
+    # N therefore runs as ONE exact block (no overhang); only a ragged N
+    # (e.g. a raw 577) needs an overhanging block, whose out-of-bounds rows
+    # are garbage and must be zero-masked (module docstring). Overhanging
+    # DMA measured ~2.4 us/program of extra cost on v5e -- prefer feeding
+    # this kernel 16-aligned token counts (models/vit.py pads once to 16).
+    n_pad = _round_up(N, 16)
+    zero_tail = n_pad != N  # block overhangs the array: mask the OOB rows
     # Mosaic wants lane-aligned block widths: group heads until the block
     # spans a multiple of 128 features; beyond alignment, larger groups
     # amortise per-program overhead. Cap the block width by dtype so the
@@ -262,18 +297,19 @@ def attention_flash_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     W = hpb * D
 
     kernel = functools.partial(_attention_qkv_kernel, scale=float(scale),
-                               n_valid=n_valid, heads_per_block=hpb,
-                               pipelined=pipelined)
+                               n_valid=min(n_valid, N), heads_per_block=hpb,
+                               zero_tail=zero_tail, pipelined=pipelined)
 
     def col(sec):  # feature-axis block index for q/k/v section + head group
         return lambda b, h: (b, 0, sec * n_blocks + h)
 
-    spec = lambda sec: pl.BlockSpec((1, N, W), col(sec), memory_space=pltpu.VMEM)
+    spec = lambda sec: pl.BlockSpec((1, n_pad, W), col(sec),
+                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_blocks),
         in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec((1, N, W), lambda b, h: (b, 0, h),
+        out_specs=pl.BlockSpec((1, n_pad, W), lambda b, h: (b, 0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         cost_estimate=pl.CostEstimate(

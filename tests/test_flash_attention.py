@@ -26,11 +26,18 @@ def test_flash_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
-def test_flash_qkv_matches_xla():
+@pytest.mark.parametrize("N", [
+    128,   # lane-aligned: no overhang, no masking
+    70,    # unaligned: the block overhangs the array; OOB k/v rows are
+           # zero-masked in-kernel (interpret mode pads blocks with
+           # unspecified values too, so this exercises the real contract)
+    130,   # unaligned, > 1 lane: overhang after a full 128-row lane
+])
+def test_flash_qkv_matches_xla(N):
     # fused-layout kernel: heads read straight out of the (B, N, 3C) buffer
     from matrix_eyes_tpu.ops.flash_attention import attention_flash_qkv, qkv_fusable
 
-    B, H, N, D = 3, 4, 128, 64
+    B, H, D = 3, 4, 64
     assert qkv_fusable(H, D)
     C = H * D
     rng = np.random.RandomState(5)
