@@ -149,7 +149,16 @@ def main() -> None:
     # prefetched BEFORE the forward dispatch, so its ~4.6 MB transfers
     # while the device computes and only the shift plane (~12 MB) reads
     # back afterwards (ops.stereogram.prefetch_stereogram_noise).
-    from matrix_eyes_tpu.ops.stereogram import prefetch_stereogram_noise
+    from matrix_eyes_tpu.ops.stereogram import (
+        _split_geometry,
+        prefetch_stereogram_noise,
+    )
+
+    # The compact form only applies at sane geometries (pw > 0, shifts fit
+    # u8, no self-link case); a BENCH_PHOTO override outside that envelope
+    # falls back to the CLI's other save path: resolved RGB row bands with
+    # the same transfer/encode overlap (3 bytes/pixel instead of ~1.4).
+    compact = _split_geometry(src_w, amplitude) is not None
 
     @jax.jit
     def device_pipeline_shift(photo_u8, perturb):
@@ -161,11 +170,25 @@ def main() -> None:
         shift = jnp.floor(dnorm * jnp.float32(dm) + 0.5).astype(jnp.uint8)
         return tuple(shift[lo:hi] for lo, hi in bounds)
 
-    def one_e2e(perturb, seed):
-        noise = prefetch_stereogram_noise(src_h, src_w, amplitude, seed)
-        shifts = device_pipeline_shift(photo, perturb)
-        me_png.save_stereogram_split(tuple(zip(shifts, noise.bands)),
-                                     out_path, pw)
+    @jax.jit
+    def device_pipeline_rgb(photo_u8, perturb, key):
+        p = (photo_u8.astype(jnp.int32) + perturb) % 256
+        img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
+        inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
+        data = _clamp_inverse_depth.__wrapped__(inv[0])
+        stereo = _synthesize.__wrapped__(data, key, src_h, src_w, pw, dm)
+        return tuple(stereo[lo:hi] for lo, hi in bounds)
+
+    if compact:
+        def one_e2e(perturb, seed):
+            noise = prefetch_stereogram_noise(src_h, src_w, amplitude, seed)
+            shifts = device_pipeline_shift(photo, perturb)
+            me_png.save_stereogram_split(tuple(zip(shifts, noise.bands)),
+                                         out_path, pw)
+    else:
+        def one_e2e(perturb, seed):
+            bands = device_pipeline_rgb(photo, perturb, jax.random.PRNGKey(seed))
+            me_png.save_device_bands(bands, out_path)
 
     def measure_control() -> float:
         # Relay-health control: the dev tunnel's per-dispatch round-trip
@@ -182,10 +205,16 @@ def main() -> None:
 
     # noise seeds from the run's own RNG: unique per iteration AND per
     # bench run, so a result-caching relay can't serve the noise bands
-    # from a previous run (the methodology in the module docstring)
-    seed_base = int(rng.randint(0, 2**31 - 1 - 16 * (iters + 256)))
-    one_e2e(jnp.int32(0), seed_base)  # warmup (compiles both programs)
+    # from a previous run (the methodology in the module docstring).
+    # Seed layout: attempt k owns [sb, sb + span) with sb = seed_base +
+    # k*span; within an attempt the e2e loop uses sb+1..sb+e2e_iters and
+    # the floor loop continues AFTER it (no reuse anywhere), and seed_base
+    # leaves headroom for every attempt.
+    attempts = int(os.environ.get("BENCH_E2E_ATTEMPTS", "3"))
     e2e_iters = max(2, iters // 2)
+    span = 16 * (iters + 256)
+    seed_base = int(rng.randint(0, 2**31 - 1 - attempts * span))
+    one_e2e(jnp.int32(0), seed_base)  # warmup (compiles both programs)
 
     # The e2e/floor terms are transfer-bound, so a degraded tunnel window
     # at measurement time would record the relay, not the software. Take
@@ -194,8 +223,8 @@ def main() -> None:
     # honest about the window it was measured in.
     e2e_attempts = []
     host = None
-    for attempt in range(int(os.environ.get("BENCH_E2E_ATTEMPTS", "3"))):
-        sb = seed_base + 16 * attempt * (iters + 256)
+    for attempt in range(attempts):
+        sb = seed_base + attempt * span
         t0 = time.perf_counter()
         for i, p in enumerate(perturbs[:e2e_iters]):
             one_e2e(p, sb + 1 + i)
@@ -208,13 +237,20 @@ def main() -> None:
         # production hosts only (b) remains.
         t0 = time.perf_counter()
         for i, p in enumerate(perturbs[:2]):
-            noise = prefetch_stereogram_noise(src_h, src_w, amplitude,
-                                              sb + 128 + i)
-            shifts = device_pipeline_shift(photo, p)
-            for s in shifts:
-                s.copy_to_host_async()
-            host = [(np.asarray(s), np.asarray(n))
-                    for s, n in zip(shifts, noise.bands)]
+            seed = sb + 1 + e2e_iters + i  # continues past the e2e seeds
+            if compact:
+                noise = prefetch_stereogram_noise(src_h, src_w, amplitude,
+                                                  seed)
+                shifts = device_pipeline_shift(photo, p)
+                for s in shifts:
+                    s.copy_to_host_async()
+                host = [(np.asarray(s), np.asarray(n))
+                        for s, n in zip(shifts, noise.bands)]
+            else:
+                bands = device_pipeline_rgb(photo, p, jax.random.PRNGKey(seed))
+                for b in bands:
+                    b.copy_to_host_async()
+                host = [np.asarray(b) for b in bands]
         readback_floor = (time.perf_counter() - t0) / 2
 
         e2e_attempts.append({"e2e_png_s": round(e2e_elapsed, 4),
@@ -222,7 +258,8 @@ def main() -> None:
                              "relay_dispatch_rt_s": round(measure_control(), 4)})
         if e2e_elapsed < 1.0:
             break  # already under the north star; no reason to re-measure
-        time.sleep(60)  # degraded window: give the tunnel a minute
+        if attempt < attempts - 1:
+            time.sleep(60)  # degraded window: give the tunnel a minute
 
     best = min(e2e_attempts, key=lambda a: a["e2e_png_s"])
     e2e_elapsed = best["e2e_png_s"]
@@ -236,8 +273,12 @@ def main() -> None:
     for _ in range(reps):
         with pngwriter.PngEncoder(out_path, src_w, src_h, level=1,
                                   filter=pngwriter.FILTER_NONE) as enc:
-            for s, n in host:
-                enc.write_stereo_rows(s, n, pw)
+            if compact:
+                for s, n in host:
+                    enc.write_stereo_rows(s, n, pw)
+            else:
+                for b in host:
+                    enc.write_rows(b)
     png_software = (time.perf_counter() - t0) / reps
 
     print(json.dumps({

@@ -143,7 +143,9 @@ def block_forward(cfg: ModelConfig, p: Params, x: jnp.ndarray, use_flash: bool,
     # the weights' dtype so every matmul stays on the MXU in bf16, while
     # the residual adds and LayerScale products run in the carry dtype
     # (cast explicitly before the multiply).
-    quantized = "qkv_qw" in p or "qkv_gqw" in p
+    from matrix_eyes_tpu.ops.quant import is_quantized_blocks
+
+    quantized = is_quantized_blocks(p)
     if quantized:
         # int8 mode: the weights are int8, the activation compute dtype is
         # carried by the (unquantized) norm parameters.

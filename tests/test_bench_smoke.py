@@ -17,13 +17,18 @@ def _load_bench():
     return mod
 
 
-def test_bench_json_contract(monkeypatch, capsys):
+@pytest.mark.parametrize("photo", [
+    "96x128",   # compact (shift, noise) save path
+    "64x4200",  # width > 4080: shifts exceed u8, the resolved-RGB banded
+                # fallback must engage instead of crashing (review finding)
+])
+def test_bench_json_contract(monkeypatch, capsys, photo):
     from matrix_eyes_tpu.native import pngwriter
 
     if not pngwriter.available():
         pytest.skip("native PNG encoder unavailable")
     monkeypatch.setenv("BENCH_CONFIG", "tiny")
-    monkeypatch.setenv("BENCH_PHOTO", "96x128")
+    monkeypatch.setenv("BENCH_PHOTO", photo)
     monkeypatch.setenv("BENCH_ITERS", "2")
     monkeypatch.setenv("BENCH_E2E_ATTEMPTS", "1")
     _load_bench().main()
