@@ -18,7 +18,9 @@ Safety: the cache key includes a fingerprint of every source file in this
 package (size + mtime), the JAX version, and the device platform/kind, so
 editing model code or switching devices invalidates entries automatically.
 Set ``MATRIX_EYES_AOT=off`` to disable, ``MATRIX_EYES_AOT_CACHE=<dir>`` to
-relocate (default ``$XDG_CACHE_HOME/matrix-eyes-tpu/aot``).
+relocate (default ``$XDG_CACHE_HOME/matrix-eyes-tpu/aot``), and
+``MATRIX_EYES_AOT_LOG=1`` to print a line per cache miss (a warm run that
+hits a remote compiler mid-flight is otherwise hard to diagnose).
 """
 
 from __future__ import annotations
@@ -225,6 +227,11 @@ def call_cached(name: str, fn: Callable, args: Tuple, salt: str = ""):
         if comp is None:
             comp = _load(key)
         if comp is None:
+            if os.environ.get("MATRIX_EYES_AOT_LOG"):
+                import sys
+
+                print(f"aot: MISS {name} -> compiling (key {key[:12]})",
+                      file=sys.stderr, flush=True)
             comp = jax.jit(fn).lower(*args).compile()
             _store(key, comp)
         _live[key] = comp

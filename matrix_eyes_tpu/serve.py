@@ -1,0 +1,266 @@
+"""HTTP serving front end: the MatrixEyes session behind a tiny server.
+
+The reference is a one-photo-per-process CLI (main.rs:149-173); production
+serving wants the opposite -- load the 1.9 GB checkpoint and compile once,
+then answer many requests. ``api.MatrixEyes`` already amortises both; this
+module exposes it over HTTP with nothing but the standard library:
+
+    python -m matrix_eyes_tpu.serve --checkpoint-path=./checkpoints/depth_pro.pt --port=8000
+
+    curl -X POST --data-binary @photo.jpg \
+        'localhost:8000/v1/process?format=stereogram' > out.png
+    curl -X POST --data-binary @photo.jpg 'localhost:8000/v1/depth' > inv.npy
+    curl localhost:8000/healthz
+
+Routes
+------
+* ``GET /healthz`` -- liveness + the session's config (the model is loaded
+  before the socket opens, so 200 here means ready).
+* ``POST /v1/process?format=depthmap|stereogram|obj|ply`` -- body is the
+  encoded photo (JPEG/PNG/anything PIL reads; EXIF focal length and
+  orientation are honoured exactly like the CLI). Returns the rendered
+  PNG (``image/png``) or mesh bytes (OBJ ``text/plain``, PLY binary
+  ``application/octet-stream``). Optional query params mirror the CLI
+  flags: ``focal-length``, ``resize-scale``, ``stereo-amplitude``,
+  ``vertex-mode`` (meshes: plain|vertex-colors; texture-coordinates is
+  rejected -- its .mtl sidecar cannot ride a single HTTP response).
+* ``POST /v1/depth`` -- clamped inverse depth at model grid resolution as
+  an ``.npy`` payload (``application/x-npy``), the serving-friendly form
+  of ``MatrixEyes.inverse_depth``.
+
+Device dispatch is serialised with a lock: one chip runs one forward at a
+time anyway, and the AOT/sharding caches on the session are not written
+for concurrent mutation. Request decode/encode (the host-side work)
+happens outside the lock, so overlapping requests pipeline naturally.
+Errors map to JSON: 400 for bad inputs (undecodable image, unknown
+format, bad numbers), 500 for reconstruction failures -- the same stage
+messages the CLI prints (errors.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from matrix_eyes_tpu.errors import MatrixEyesError, ReconstructionError
+
+# format -> (destination extension, response content type)
+_FORMATS = {
+    "depthmap": (".png", "image/png"),
+    "stereogram": (".png", "image/png"),
+    "obj": (".obj", "text/plain; charset=utf-8"),
+    "ply": (".ply", "application/octet-stream"),
+}
+_MAX_BODY = 128 * 1024 * 1024  # a 12 MP photo is ~36 MB raw; JPEG far less
+
+
+class BadRequest(ValueError):
+    """Client-side error -> HTTP 400."""
+
+
+def _one_float(q: dict, name: str) -> Optional[float]:
+    vals = q.get(name)
+    if not vals:
+        return None
+    try:
+        v = float(vals[-1])
+    except ValueError:
+        raise BadRequest(f"{name} must be a number, got {vals[-1]!r}")
+    if not (v == v) or v in (float("inf"), float("-inf")):
+        raise BadRequest(f"{name} must be finite")
+    return v
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by create_server
+    session = None
+    lock: threading.Lock = None
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing ----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # route through one line per request
+        print(f"serve: {self.address_string()} {fmt % args}", flush=True)
+
+    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode() + b"\n", "application/json")
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            raise BadRequest("request body must contain the encoded photo")
+        if length > _MAX_BODY:
+            raise BadRequest(f"body too large ({length} bytes)")
+        return self.rfile.read(length)
+
+    # -- routes ------------------------------------------------------------
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            import numpy as np
+
+            self._reply_json(200, {
+                "status": "ok",
+                "model": "depth_pro",
+                "img_size": self.session.cfg.img_size,
+                "dtype": str(np.dtype(self.session.runtime.resolved_dtype())),
+            })
+            return
+        if path == "/":
+            self._reply(200, __doc__.encode(), "text/plain; charset=utf-8")
+            return
+        self._reply_json(404, {"error": f"no such route: {path}"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        try:
+            body = self._read_body()
+            if url.path == "/v1/process":
+                out, ctype = self._process(body, q)
+            elif url.path == "/v1/depth":
+                out, ctype = self._depth(body, q)
+            else:
+                self._reply_json(404, {"error": f"no such route: {url.path}"})
+                return
+        except BadRequest as e:
+            self._reply_json(400, {"error": str(e)})
+            return
+        except ReconstructionError as e:
+            # undecodable body etc. -- the client's fault
+            self._reply_json(400, {"error": str(e)})
+            return
+        except MatrixEyesError as e:
+            self._reply_json(500, {"error": str(e)})
+            return
+        self._reply(200, out, ctype)
+
+    # -- work --------------------------------------------------------------
+
+    def _process(self, body: bytes, q: dict):
+        fmt = (q.get("format") or ["depthmap"])[-1]
+        if fmt not in _FORMATS:
+            raise BadRequest(
+                f"format must be one of {sorted(_FORMATS)}, got {fmt!r}")
+        ext, ctype = _FORMATS[fmt]
+        vertex_mode = (q.get("vertex-mode") or ["vertex-colors"])[-1]
+        if fmt in ("obj", "ply"):
+            if vertex_mode == "texture-coordinates":
+                raise BadRequest(
+                    "vertex-mode=texture-coordinates writes a .mtl sidecar "
+                    "and cannot be served as one response; use the CLI")
+            if vertex_mode not in ("plain", "vertex-colors"):
+                raise BadRequest(
+                    f"vertex-mode must be plain|vertex-colors, got "
+                    f"{vertex_mode!r}")
+        focal = _one_float(q, "focal-length")
+        resize_scale = _one_float(q, "resize-scale")
+        amplitude = _one_float(q, "stereo-amplitude")
+
+        with tempfile.TemporaryDirectory(prefix="me_serve_") as d:
+            src = os.path.join(d, "src.bin")  # PIL sniffs content, not name
+            with open(src, "wb") as f:
+                f.write(body)
+            dst = os.path.join(d, "out" + ext)
+            kwargs = {}
+            if amplitude is not None:
+                kwargs["stereo_amplitude"] = amplitude
+            with self.lock:
+                self.session.process(
+                    src, dst,
+                    focal_length_35mm=focal,
+                    image_format="stereogram" if fmt == "stereogram"
+                    else "depthmap",
+                    vertex_mode=vertex_mode,
+                    resize_scale=resize_scale,
+                    **kwargs,
+                )
+            with open(dst, "rb") as f:
+                return f.read(), ctype
+
+    def _depth(self, body: bytes, q: dict):
+        import io
+
+        import numpy as np
+
+        focal = _one_float(q, "focal-length")
+        with tempfile.TemporaryDirectory(prefix="me_serve_") as d:
+            src = os.path.join(d, "src.bin")
+            with open(src, "wb") as f:
+                f.write(body)
+            with self.lock:
+                inv = self.session.inverse_depth(src, focal_length_35mm=focal)
+        buf = io.BytesIO()
+        np.save(buf, inv)
+        return buf.getvalue(), "application/x-npy"
+
+
+def create_server(session, host: str = "127.0.0.1",
+                  port: int = 8000) -> ThreadingHTTPServer:
+    """A ready-to-run server bound to ``session`` (an api.MatrixEyes).
+
+    Separated from main() so tests (and embedders) can run it on an
+    ephemeral port in a thread: ``create_server(me, port=0)`` then
+    ``server.serve_forever()`` / ``server.shutdown()``.
+    """
+    handler = type("BoundHandler", (_Handler,), {
+        "session": session,
+        "lock": threading.Lock(),
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from matrix_eyes_tpu.api import MatrixEyes
+
+    ap = argparse.ArgumentParser(
+        prog="matrix-eyes-serve",
+        description="Serve Depth Pro over HTTP (load once, answer many).")
+    ap.add_argument("--checkpoint-path", default="./checkpoints/depth_pro.pt")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--dtype", default=None,
+                    help="f32|bf16|f16|int8 (default: bf16 on TPU)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="stereogram noise seed")
+    ap.add_argument("--no-flash-attention", action="store_true")
+    ap.add_argument("--convert-checkpoints", action="store_true")
+    args = ap.parse_args(argv)
+
+    session = MatrixEyes(
+        args.checkpoint_path,
+        dtype=args.dtype,
+        seed=args.seed,
+        flash_attention=False if args.no_flash_attention else None,
+        convert_checkpoints=args.convert_checkpoints,
+    )
+    server = create_server(session, args.host, args.port)
+    host, port = server.server_address[:2]
+    print(f"serving depth_pro on http://{host}:{port} "
+          f"(/healthz, /v1/process, /v1/depth)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

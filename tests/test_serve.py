@@ -1,0 +1,130 @@
+"""HTTP serving front end (serve.py) on the tiny checkpoint: a real
+ThreadingHTTPServer on an ephemeral port, driven with urllib -- the same
+bytes a curl user would see."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from matrix_eyes_tpu.api import MatrixEyes
+from matrix_eyes_tpu.config import TINY
+from matrix_eyes_tpu.serve import create_server
+
+import torch_ref
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=21)
+    ckpt = str(d / "tiny.pt")
+    torch.save(tm.state_dict(), ckpt)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    jpeg = io.BytesIO()
+    Image.fromarray(img).save(jpeg, format="JPEG")
+
+    me = MatrixEyes(ckpt)
+    server = create_server(me, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, jpeg.getvalue(), me
+    server.shutdown()
+    server.server_close()
+    t.join(timeout=10)
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz(served):
+    base, _, me = served
+    with urllib.request.urlopen(base + "/healthz") as r:
+        rec = json.loads(r.read())
+    assert rec["status"] == "ok"
+    assert rec["img_size"] == me.cfg.img_size
+    assert rec["dtype"] == str(np.dtype(me.runtime.resolved_dtype()))
+
+
+def test_process_depthmap_png(served):
+    base, jpeg, _ = served
+    code, ctype, body = _post(
+        base + "/v1/process?focal-length=35", jpeg)
+    assert code == 200 and ctype == "image/png"
+    with Image.open(io.BytesIO(body)) as im:
+        assert im.size == (56, 40)  # back at source resolution
+
+
+def test_process_stereogram_resize(served):
+    base, jpeg, _ = served
+    code, ctype, body = _post(
+        base + "/v1/process?format=stereogram&focal-length=35"
+               "&resize-scale=2&stereo-amplitude=0.0625", jpeg)
+    assert code == 200 and ctype == "image/png"
+    with Image.open(io.BytesIO(body)) as im:
+        assert im.size == (112, 80)
+
+
+def test_process_obj_mesh(served):
+    base, jpeg, _ = served
+    code, ctype, body = _post(
+        base + "/v1/process?format=obj&focal-length=35&vertex-mode=plain",
+        jpeg)
+    assert code == 200 and ctype.startswith("text/plain")
+    assert body.startswith(b"o Depth\n") or b"\nv " in body or body.startswith(b"v ")
+
+
+def test_depth_npy_matches_api(served):
+    base, jpeg, me = served
+    code, ctype, body = _post(base + "/v1/depth?focal-length=35", jpeg)
+    assert code == 200 and ctype == "application/x-npy"
+    served_inv = np.load(io.BytesIO(body))
+    # same bytes through the library path must agree exactly: the server
+    # is a transport, not a different compute path
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        f.write(jpeg)
+        f.flush()
+        direct = me.inverse_depth(f.name, focal_length_35mm=35.0)
+    np.testing.assert_array_equal(served_inv, direct)
+
+
+@pytest.mark.parametrize("path,code", [
+    ("/v1/process?format=watercolor", 400),   # unknown format
+    ("/v1/process?focal-length=nan", 400),    # non-finite number
+    ("/v1/process?format=obj&vertex-mode=texture-coordinates", 400),
+    ("/v1/nope", 404),
+])
+def test_bad_requests(served, path, code):
+    base, jpeg, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + path, jpeg)
+    assert ei.value.code == code
+    rec = json.loads(ei.value.read())
+    assert "error" in rec
+
+
+def test_undecodable_body_is_400(served):
+    base, _, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/process", b"this is not an image")
+    assert ei.value.code == 400
+
+
+def test_empty_body_is_400(served):
+    base, _, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/process", b"")
+    assert ei.value.code == 400
