@@ -120,13 +120,13 @@ def main() -> None:
     # ends at out_image.save). File *decode* is still excluded (input lives
     # in HBM), matching the headline metric's starting point.
     #
-    # This is the CLI's own save path: the stereogram leaves the device as
-    # row bands whose transfers are started asynchronously, and the native
-    # striped encoder (one deflate stream per band, worker pool) compresses
-    # band k while band k+1 is still in flight -- encode cost hides behind
-    # the transfer. The file lands on tmpfs: this sandbox's disk writes at
-    # ~6 MB/s (an infra artifact -- a production host's page cache absorbs
-    # the ~7 MB file instantly), and tmpfs is the closest model of that.
+    # This is the CLI's own save path: whole-plane device->host transfers
+    # (fewest link round trips; see the one-shot forensic in
+    # docs/PERFORMANCE.md), re-sliced on the host into ENCODE_ROWS stripes
+    # for the native striped encoder's worker pool. The file lands on
+    # tmpfs: this sandbox's disk writes at ~6 MB/s (an infra artifact -- a
+    # production host's page cache absorbs the ~7 MB file instantly), and
+    # tmpfs is the closest model of that.
     import tempfile
 
     from matrix_eyes_tpu.native import pngwriter
@@ -135,16 +135,20 @@ def main() -> None:
 
     out_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     out_path = os.path.join(out_dir, "me_bench_stereo.png")
-    bounds = band_bounds(src_h, 256)
+    # whole-plane transfer, matching the product save path: per-output
+    # first-fetch round trips through a remote link dominate one-shot runs
+    # (docs/PERFORMANCE.md one-shot forensic); the encoder re-slices the
+    # host copy at png.ENCODE_ROWS so the worker pool still parallelises
+    bounds = band_bounds(src_h, src_h)
     assert me_png.split_supported(), "native PNG encoder must build for the bench"
 
     # The CLI's stereogram .png path: the image leaves the device in its
     # compact generative form -- per-pixel u8 link shifts + per-row noise
     # seeds, ~16.6 MB instead of the 36 MB resolved RGB -- and the native
     # encoder's worker pool replays the reference's linker scan
-    # (output.rs:173-185) per row band and deflates it while later bands
-    # are still in flight. Output file is byte-identical to encoding the
-    # device-resolved stereogram (tests/test_pngwriter.py proves it).
+    # (output.rs:173-185) per host stripe. Output file is byte-identical
+    # to encoding the device-resolved stereogram (tests/test_pngwriter.py
+    # proves it).
     # Like the CLI, the noise plane (seed- and geometry-only) is
     # prefetched BEFORE the forward dispatch, so its ~4.6 MB transfers
     # while the device computes and only the shift plane (~12 MB) reads
@@ -181,7 +185,8 @@ def main() -> None:
 
     if compact:
         def one_e2e(perturb, seed):
-            noise = prefetch_stereogram_noise(src_h, src_w, amplitude, seed)
+            noise = prefetch_stereogram_noise(src_h, src_w, amplitude, seed,
+                                              band_rows=src_h)
             shifts = device_pipeline_shift(photo, perturb)
             me_png.save_stereogram_split(tuple(zip(shifts, noise.bands)),
                                          out_path, pw)
@@ -240,7 +245,7 @@ def main() -> None:
             seed = sb + 1 + e2e_iters + i  # continues past the e2e seeds
             if compact:
                 noise = prefetch_stereogram_noise(src_h, src_w, amplitude,
-                                                  seed)
+                                                  seed, band_rows=src_h)
                 shifts = device_pipeline_shift(photo, p)
                 for s in shifts:
                     s.copy_to_host_async()

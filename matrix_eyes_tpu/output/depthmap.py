@@ -28,10 +28,26 @@ from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram
 CLIP_DEPTH_MIN = 0.1
 CLIP_DEPTH_MAX = 250.0
 
-# Row-band height for banded (transfer/encode-overlapped) PNG output:
-# ~3 MB per band at 12 MP -- big enough to amortise per-transfer overhead,
-# small enough that the encoder starts while most bands are still in flight.
-BAND_ROWS = 256
+def transfer_band_rows(out_h: int) -> int:
+    """Device->host transfer granularity for an image save: ONE buffer
+    per plane, always.
+
+    Through a remote-device link, the first fetch of each output buffer
+    of a freshly loaded executable pays a per-buffer round-trip setup
+    cost (measured 2-8 s PER OUTPUT through the dev tunnel: a one-shot
+    CLI write once spent 230+ s fetching 24 row bands whose bytes move in
+    under a second as one buffer; the same 24 fetches cost ~0 on the
+    executable's SECOND call). Fine-grained device banding would buy
+    transfer/encode overlap worth <= ~0.18 s/image at steady state -- and
+    cost seconds per output on every one-shot CLI run plus an extra
+    remote compile per geometry if made adaptive. So transfers are
+    whole-plane; the encode worker pool's parallelism (and the PNG's
+    byte-exact stripe boundaries) are preserved by re-slicing the HOST
+    copy at output/png.py ENCODE_ROWS. On a local-PCIe production host
+    the two designs are equivalent (per-buffer setup ~us, 17 MB moves in
+    ~ms); this one is strictly better over remote links.
+    """
+    return max(out_h, 1)
 
 
 def stereogram_size(original_size: Tuple[int, int],
@@ -68,7 +84,8 @@ def maybe_prefetch_stereo_noise(destination_path: str, image_format,
         if not png.split_supported():
             return None
         ow, oh = stereogram_size(original_size, resize_scale)
-        return prefetch_stereogram_noise(oh, ow, amplitude, seed, BAND_ROWS)
+        br = transfer_band_rows(oh)
+        return prefetch_stereogram_noise(oh, ow, amplitude, seed, br)
     except Exception:
         return None
 
@@ -138,7 +155,8 @@ class DepthMap:
         from matrix_eyes_tpu.ops.stereogram import band_bounds
 
         ow, oh = self.original_size
-        bounds = band_bounds(oh, BAND_ROWS)
+        br = transfer_band_rows(oh)
+        bounds = band_bounds(oh, br)
 
         def render(data):
             img = _render_depth_map.__wrapped__(data, oh, ow)
@@ -146,7 +164,7 @@ class DepthMap:
 
         return aot.call_cached(
             "render_depthmap_bands", render, (self.data,),
-            salt=f"{oh}x{ow}|br={BAND_ROWS}")
+            salt=f"{oh}x{ow}|br={br}")
 
     def _stereogram_size(self, resize_scale: Optional[float]) -> Tuple[int, int]:
         return stereogram_size(self.original_size, resize_scale)
@@ -161,8 +179,9 @@ class DepthMap:
         from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_bands
 
         ow, oh = self._stereogram_size(resize_scale)
+        br = transfer_band_rows(oh)
         return synthesize_stereogram_bands(self.data, oh, ow, amplitude, seed,
-                                           band_rows=BAND_ROWS)
+                                           band_rows=br)
 
     def render_stereogram_split(self, resize_scale: Optional[float],
                                 amplitude: float, seed: int = 0,
@@ -170,8 +189,9 @@ class DepthMap:
         from matrix_eyes_tpu.ops.stereogram import synthesize_stereogram_split
 
         ow, oh = self._stereogram_size(resize_scale)
+        br = transfer_band_rows(oh)
         return synthesize_stereogram_split(self.data, oh, ow, amplitude, seed,
-                                           band_rows=BAND_ROWS, noise=noise)
+                                           band_rows=br, noise=noise)
 
     # -- dispatch (output.rs:100-121) --------------------------------------
 
@@ -186,6 +206,7 @@ class DepthMap:
         seed: int = 0,
         stereo_noise=None,
     ) -> None:
+        from matrix_eyes_tpu import timings
         from matrix_eyes_tpu.output import png
 
         dest = destination_path.lower()
@@ -193,9 +214,10 @@ class DepthMap:
             self._output_mesh(destination_path, source_path, vertex_mode)
         elif image_format == ImageOutputFormat.DEPTH_MAP:
             if dest.endswith(".png"):
-                # banded render: host transfer overlaps the striped encode
-                png.save_device_bands(self.render_depth_map_bands(),
-                                      destination_path, **png.DEPTH_MAP)
+                with timings.span("output: render dispatch"):
+                    bands = self.render_depth_map_bands()
+                png.save_device_bands(bands, destination_path,
+                                      **png.DEPTH_MAP)
             else:
                 self._save_image(self.render_depth_map(), destination_path)
         else:
@@ -207,8 +229,9 @@ class DepthMap:
             if dest.endswith(".png") and png.split_supported():
                 # compact (shift, noise) form: ~2.2x less device->host
                 # traffic; the native encoder replays the linker scan
-                split = self.render_stereogram_split(resize_scale, amplitude,
-                                                     seed, noise=stereo_noise)
+                with timings.span("output: render dispatch"):
+                    split = self.render_stereogram_split(
+                        resize_scale, amplitude, seed, noise=stereo_noise)
             if split is not None:
                 pw, pairs = split
                 png.save_stereogram_split(pairs, destination_path, pw,

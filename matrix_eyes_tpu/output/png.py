@@ -29,6 +29,19 @@ from matrix_eyes_tpu.native import pngwriter
 STEREOGRAM = {"level": 1, "filter": pngwriter.FILTER_NONE}
 DEPTH_MAP = {"level": 6, "filter": pngwriter.FILTER_PAETH}
 
+# Encode-stripe granularity for the native worker pool. Independent of the
+# DEVICE->HOST transfer granularity (output/depthmap.transfer_band_rows):
+# however coarse the transferred bands are, each is re-sliced into
+# ENCODE_ROWS host stripes before enqueueing, so the pool's parallelism
+# (and the byte-exact stripe boundaries the goldens pin) never depend on
+# how the bytes crossed the link.
+ENCODE_ROWS = 256
+
+
+def _host_stripes(arr: np.ndarray):
+    """Slice a host array into ENCODE_ROWS-row views (no copies)."""
+    return [arr[i:i + ENCODE_ROWS] for i in range(0, arr.shape[0], ENCODE_ROWS)]
+
 
 def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
                       filter: int = pngwriter.FILTER_NONE) -> None:
@@ -38,7 +51,8 @@ def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
     All transfers are started asynchronously up front; each band is then
     encoded (enqueued to the native worker pool, which returns immediately)
     while later bands are still in flight -- on a remote-device link the
-    encode cost disappears into the transfer time.
+    encode cost disappears into the transfer time. Bands coarser than
+    ENCODE_ROWS are re-sliced on the host so the pool still parallelises.
     """
     h = sum(int(b.shape[0]) for b in bands)
     w = int(bands[0].shape[1])
@@ -52,10 +66,17 @@ def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
         _pil_save(np.concatenate([np.asarray(b) for b in bands], axis=0),
                   path, level)
         return
+    from matrix_eyes_tpu import timings
+
     try:
-        with pngwriter.PngEncoder(path, w, h, level=level, filter=filter) as enc:
-            for b in bands:
-                enc.write_rows(np.asarray(b))
+        with timings.span("png: device->host"):
+            host = [np.asarray(b) for b in bands]
+        with timings.span("png: encode+write"), \
+                pngwriter.PngEncoder(path, w, h, level=level,
+                                     filter=filter) as enc:
+            for b in host:
+                for stripe in _host_stripes(b):
+                    enc.write_rows(stripe)
     except OSError as e:
         raise OutputError(f"Image error: {e}") from e
 
@@ -82,12 +103,18 @@ def save_stereogram_split(pairs, path: str, pattern_width: int, *,
             if cth is not None:
                 cth()
 
+    from matrix_eyes_tpu import timings
+
     try:
-        with pngwriter.PngEncoder(path, w, h, level=level,
-                                  filter=pngwriter.FILTER_NONE) as enc:
-            for s, n in pairs:
-                enc.write_stereo_rows(np.asarray(s), np.asarray(n),
-                                      pattern_width)
+        with timings.span("png: device->host"):
+            host = [(np.asarray(s), np.asarray(n)) for s, n in pairs]
+        with timings.span("png: encode+write"), \
+                pngwriter.PngEncoder(path, w, h, level=level,
+                                     filter=pngwriter.FILTER_NONE) as enc:
+            for s, n in host:
+                # lockstep host re-slicing (noise is per-row, rows align)
+                for ss, ns in zip(_host_stripes(s), _host_stripes(n)):
+                    enc.write_stereo_rows(ss, ns, pattern_width)
     except OSError as e:
         raise OutputError(f"Image error: {e}") from e
 

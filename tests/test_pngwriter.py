@@ -241,3 +241,46 @@ def test_jpeg_output_routes_through_pil(tmp_path):
                     image_format=ImageOutputFormat.STEREOGRAM, seed=7)
     with Image.open(p2) as im:
         assert im.format == "JPEG" and im.size == (60, 48)
+
+
+def test_whole_plane_transfer_matches_banded_bytes(tmp_path):
+    """The save paths transfer ONE buffer per plane (per-output first-fetch
+    round trips dominate one-shot runs over remote links); the PNG bytes
+    must be identical to a fine-banded device transfer -- host re-slicing
+    keeps the encoder's stripe boundaries fixed at ENCODE_ROWS."""
+    from matrix_eyes_tpu.ops.stereogram import (
+        synthesize_stereogram_bands,
+        synthesize_stereogram_split,
+    )
+    from matrix_eyes_tpu.output import png
+    from matrix_eyes_tpu.output.depthmap import DepthMap, ImageOutputFormat
+
+    rng = np.random.RandomState(4)
+    inv = jnp.asarray(rng.uniform(1 / 250, 1 / 0.1, (64, 64)).astype(np.float32))
+    # > 2*ENCODE_ROWS output rows so the re-slicing is non-trivial
+    dm = DepthMap.new(inv, original_size=(70, 600))
+
+    # pipeline save (whole-plane transfers)
+    s1 = str(tmp_path / "s_plane.png")
+    dm.output_image(s1, source_path="",
+                    image_format=ImageOutputFormat.STEREOGRAM, seed=3)
+    # explicit ENCODE_ROWS device banding through the same encoders (the
+    # deflate stripes are independent streams, so byte identity requires
+    # the SAME stripe boundaries -- whole-plane transfers re-slice at
+    # ENCODE_ROWS, so a device banding at ENCODE_ROWS must match exactly)
+    pw, pairs = synthesize_stereogram_split(dm.data, 600, 70, 1 / 16.0,
+                                            seed=3, band_rows=png.ENCODE_ROWS)
+    s2 = str(tmp_path / "s_banded.png")
+    png.save_stereogram_split(pairs, s2, pw, level=png.STEREOGRAM["level"])
+    assert open(s1, "rb").read() == open(s2, "rb").read()
+
+    r1 = str(tmp_path / "r_plane.png")
+    png.save_device_bands(
+        synthesize_stereogram_bands(dm.data, 600, 70, 1 / 16.0, seed=3,
+                                    band_rows=600), r1, **png.STEREOGRAM)
+    r2 = str(tmp_path / "r_banded.png")
+    png.save_device_bands(
+        synthesize_stereogram_bands(dm.data, 600, 70, 1 / 16.0, seed=3,
+                                    band_rows=png.ENCODE_ROWS),
+        r2, **png.STEREOGRAM)
+    assert open(r1, "rb").read() == open(r2, "rb").read()
