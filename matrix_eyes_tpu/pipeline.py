@@ -159,6 +159,15 @@ def extract_depth(
                 inv, _fov_deg = aot.call_cached("fwd_fov", fwd_fov, (params, img), salt)
                 inverse_depth = inv[0]
             depth_map = DepthMap.new(inverse_depth, src.original_size)
+            if timings.enabled():
+                # Observability mode only: force the forward's completion
+                # inside ITS span. Dispatch is asynchronous, so without
+                # this the first blocking readback (the output stage)
+                # absorbs the forward's wall time -- on a remote relay the
+                # first execution of a freshly loaded executable can cost
+                # tens of seconds (docs/PERFORMANCE.md one-shot forensic)
+                # and the table would blame the write path for it.
+                depth_map.data.block_until_ready()
     except Exception as err:
         raise stage_error("Failed to process image", err) from err
     pl_net.report_status(1.0)
