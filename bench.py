@@ -273,17 +273,23 @@ def main() -> None:
 
     # (b) the pure software cost -- linker-scan replay + striped encode
     # from host-resident arrays to the same file; window-independent.
+    # Re-slice the whole-plane host arrays at ENCODE_ROWS exactly like the
+    # product save path does (output/png.py) -- one stripe per pool task,
+    # byte-identical file, same multi-core behaviour.
     t0 = time.perf_counter()
     reps = 3
+    stripes = me_png._host_stripes
     for _ in range(reps):
         with pngwriter.PngEncoder(out_path, src_w, src_h, level=1,
                                   filter=pngwriter.FILTER_NONE) as enc:
             if compact:
                 for s, n in host:
-                    enc.write_stereo_rows(s, n, pw)
+                    for ss, ns in zip(stripes(s), stripes(n)):
+                        enc.write_stereo_rows(ss, ns, pw)
             else:
                 for b in host:
-                    enc.write_rows(b)
+                    for stripe in stripes(b):
+                        enc.write_rows(stripe)
     png_software = (time.perf_counter() - t0) / reps
 
     print(json.dumps({

@@ -1,14 +1,17 @@
-"""PNG serialisation: striped native encoder with readback overlap.
+"""PNG serialisation: striped native encoder fed by whole-plane readbacks.
 
 The reference's metric ends at ``out_image.save`` (output.rs:141-193), so
 PNG encoding is part of the user-visible cost. Two levers beat the
 single-threaded reference encoder:
 
 * the native striped encoder (native/pngwriter.cpp) compresses independent
-  row bands on a worker pool -- multi-core scaling on production hosts;
-* ``save_device_bands``: the device array arrives as row bands whose
-  host transfer (``copy_to_host_async``) overlaps the compression of the
-  previous band, so encode time hides behind the transfer.
+  ENCODE_ROWS stripes on a worker pool -- multi-core scaling on
+  production hosts; stripes are sliced from the HOST copy, so stripe
+  boundaries (and the output bytes) never depend on how the image
+  crossed the link;
+* device->host transfers move whole planes (fewest link round trips --
+  the one-shot forensic in docs/PERFORMANCE.md measured multi-second
+  per-output costs on remote relays), started asynchronously up front.
 
 Level/filter policy: stereograms use filter None + zlib level 1 -- their
 pixel chains are long exact LZ matches (measured ratio 0.18 at level 1,
@@ -46,13 +49,13 @@ def _host_stripes(arr: np.ndarray):
 def save_device_bands(bands: Sequence, path: str, *, level: int = 1,
                       filter: int = pngwriter.FILTER_NONE) -> None:
     """Encode an image that lives on device as a sequence of row bands
-    ((n_i, W, 3) u8 arrays, top to bottom).
+    ((n_i, W, 3) u8 arrays, top to bottom) -- in the product paths, ONE
+    whole-plane band (see output/depthmap.transfer_band_rows).
 
-    All transfers are started asynchronously up front; each band is then
-    encoded (enqueued to the native worker pool, which returns immediately)
-    while later bands are still in flight -- on a remote-device link the
-    encode cost disappears into the transfer time. Bands coarser than
-    ENCODE_ROWS are re-sliced on the host so the pool still parallelises.
+    All transfers are started asynchronously up front and materialised
+    before encoding begins; each host copy is then re-sliced at
+    ENCODE_ROWS and enqueued to the native worker pool, which compresses
+    the stripes in parallel while later enqueues proceed.
     """
     h = sum(int(b.shape[0]) for b in bands)
     w = int(bands[0].shape[1])
@@ -91,9 +94,11 @@ def save_stereogram_split(pairs, path: str, pattern_width: int, *,
                           level: int = 1) -> None:
     """Encode a stereogram from its compact device representation (see
     ops.stereogram.synthesize_stereogram_split): per band, shift (n, W) u8
-    and noise (n, pw, 3) u8. Transfers are started asynchronously up
-    front; the native worker pool replays the reference linker scan and
-    compresses each band while later bands are still in flight."""
+    and noise (n, pw, 3) u8 -- in the product paths one whole-plane pair.
+    Transfers are started asynchronously up front and materialised; the
+    host copies are then re-sliced at ENCODE_ROWS and the native worker
+    pool replays the reference linker scan and compresses the stripes in
+    parallel."""
     h = sum(int(s.shape[0]) for s, _ in pairs)
     w = int(pairs[0][0].shape[1])
 

@@ -48,6 +48,7 @@ from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 from matrix_eyes_tpu.errors import MatrixEyesError, ReconstructionError
+from matrix_eyes_tpu.io.image import load_source_image
 
 # format -> (destination extension, response content type)
 _FORMATS = {
@@ -98,10 +99,16 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(code, json.dumps(obj).encode() + b"\n", "application/json")
 
     def _read_body(self) -> bytes:
-        length = int(self.headers.get("Content-Length") or 0)
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            raise BadRequest("Content-Length must be an integer")
         if length <= 0:
             raise BadRequest("request body must contain the encoded photo")
         if length > _MAX_BODY:
+            # the body stays unread: a keep-alive peer would have its next
+            # request parsed out of these bytes, so drop the connection
+            self.close_connection = True
             raise BadRequest(f"body too large ({length} bytes)")
         return self.rfile.read(length)
 
@@ -146,48 +153,72 @@ class _Handler(BaseHTTPRequestHandler):
         except MatrixEyesError as e:
             self._reply_json(500, {"error": str(e)})
             return
+        except Exception as e:  # runtime/device errors: reply, don't drop
+            import traceback
+
+            traceback.print_exc()
+            self.close_connection = True  # state after a raw failure is
+            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return                        # not worth trusting for reuse
         self._reply(200, out, ctype)
 
     # -- work --------------------------------------------------------------
 
     def _process(self, body: bytes, q: dict):
+        from matrix_eyes_tpu.output.depthmap import (
+            ImageOutputFormat,
+            VertexMode,
+            maybe_prefetch_stereo_noise,
+        )
+
         fmt = (q.get("format") or ["depthmap"])[-1]
         if fmt not in _FORMATS:
             raise BadRequest(
                 f"format must be one of {sorted(_FORMATS)}, got {fmt!r}")
         ext, ctype = _FORMATS[fmt]
+        # validated for EVERY request: an invalid value must 400, never
+        # reach VertexMode() and crash the handler
         vertex_mode = (q.get("vertex-mode") or ["vertex-colors"])[-1]
-        if fmt in ("obj", "ply"):
-            if vertex_mode == "texture-coordinates":
-                raise BadRequest(
-                    "vertex-mode=texture-coordinates writes a .mtl sidecar "
-                    "and cannot be served as one response; use the CLI")
-            if vertex_mode not in ("plain", "vertex-colors"):
-                raise BadRequest(
-                    f"vertex-mode must be plain|vertex-colors, got "
-                    f"{vertex_mode!r}")
+        if vertex_mode == "texture-coordinates":
+            raise BadRequest(
+                "vertex-mode=texture-coordinates writes a .mtl sidecar "
+                "and cannot be served as one response; use the CLI")
+        if vertex_mode not in ("plain", "vertex-colors"):
+            raise BadRequest(
+                f"vertex-mode must be plain|vertex-colors, got "
+                f"{vertex_mode!r}")
         focal = _one_float(q, "focal-length")
         resize_scale = _one_float(q, "resize-scale")
         amplitude = _one_float(q, "stereo-amplitude")
+        if amplitude is None:
+            amplitude = 1.0 / 16.0
+        image_format = ImageOutputFormat(
+            "stereogram" if fmt == "stereogram" else "depthmap")
+        seed = self.session.runtime.seed
 
         with tempfile.TemporaryDirectory(prefix="me_serve_") as d:
             src = os.path.join(d, "src.bin")  # PIL sniffs content, not name
             with open(src, "wb") as f:
                 f.write(body)
             dst = os.path.join(d, "out" + ext)
-            kwargs = {}
-            if amplitude is not None:
-                kwargs["stereo_amplitude"] = amplitude
+            # decode outside the lock (host work; overlaps other requests)
+            source = load_source_image(src, focal)
             with self.lock:
-                self.session.process(
-                    src, dst,
-                    focal_length_35mm=focal,
-                    image_format="stereogram" if fmt == "stereogram"
-                    else "depthmap",
-                    vertex_mode=vertex_mode,
-                    resize_scale=resize_scale,
-                    **kwargs,
-                )
+                # device section only: noise prefetch + the model forward
+                # (the same ordering as api.process -- the noise transfer
+                # rides the link while the forward computes)
+                noise = maybe_prefetch_stereo_noise(
+                    dst, image_format, source.original_size, resize_scale,
+                    amplitude, seed)
+                dm = self.session.depth_map(source)
+                dm.data.block_until_ready()
+            # readback + encode outside the lock (the shift/render
+            # programs it dispatches are ~ms of device time; JAX dispatch
+            # is thread-safe, so this overlaps the next request's forward)
+            dm.output_image(dst, src, image_format=image_format,
+                            vertex_mode=VertexMode(vertex_mode),
+                            resize_scale=resize_scale, amplitude=amplitude,
+                            seed=seed, stereo_noise=noise)
             with open(dst, "rb") as f:
                 return f.read(), ctype
 
@@ -201,8 +232,11 @@ class _Handler(BaseHTTPRequestHandler):
             src = os.path.join(d, "src.bin")
             with open(src, "wb") as f:
                 f.write(body)
+            source = load_source_image(src, focal)  # decode: no lock
             with self.lock:
-                inv = self.session.inverse_depth(src, focal_length_35mm=focal)
+                dm = self.session.depth_map(source)
+                dm.data.block_until_ready()
+        inv = dm.to_numpy()  # readback: no lock
         buf = io.BytesIO()
         np.save(buf, inv)
         return buf.getvalue(), "application/x-npy"

@@ -128,3 +128,28 @@ def test_empty_body_is_400(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/v1/process", b"")
     assert ei.value.code == 400
+
+
+def test_bad_vertex_mode_on_image_format_is_400(served):
+    # regression: an invalid vertex-mode on a NON-mesh request used to
+    # escape as a raw ValueError and drop the connection
+    base, jpeg, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/process?format=stereogram&vertex-mode=bogus", jpeg)
+    assert ei.value.code == 400
+
+
+def test_runtime_error_returns_500_json(served):
+    # a raw (non-MatrixEyesError) failure inside the model path must come
+    # back as a 500 JSON error, not a dropped connection
+    base, jpeg, me = served
+    orig = me.depth_map
+    me.depth_map = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("device fell over"))
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/depth", jpeg)
+        assert ei.value.code == 500
+        assert "device fell over" in json.loads(ei.value.read())["error"]
+    finally:
+        me.depth_map = orig
