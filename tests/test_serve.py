@@ -153,3 +153,23 @@ def test_runtime_error_returns_500_json(served):
         assert "device fell over" in json.loads(ei.value.read())["error"]
     finally:
         me.depth_map = orig
+
+
+def test_concurrent_requests_both_succeed(served):
+    # the lock covers only the device section; decode/encode from two
+    # request threads must interleave without corrupting either response
+    import concurrent.futures
+
+    base, jpeg, me = served
+
+    def one(seed):
+        code, ctype, body = _post(
+            base + f"/v1/process?format=stereogram&focal-length=35", jpeg)
+        return code, ctype, body
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    assert all(c == 200 and t == "image/png" for c, t, _ in results)
+    # the session seed is fixed, so identical inputs => identical bytes:
+    # any cross-request state corruption would show up as a divergence
+    assert len({b for _, _, b in results}) == 1
