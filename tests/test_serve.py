@@ -164,7 +164,7 @@ def test_concurrent_requests_both_succeed(served):
 
     def one(seed):
         code, ctype, body = _post(
-            base + f"/v1/process?format=stereogram&focal-length=35", jpeg)
+            base + "/v1/process?format=stereogram&focal-length=35", jpeg)
         return code, ctype, body
 
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
