@@ -215,7 +215,9 @@ def main() -> None:
     # k*span; within an attempt the e2e loop uses sb+1..sb+e2e_iters and
     # the floor loop continues AFTER it (no reuse anywhere), and seed_base
     # leaves headroom for every attempt.
-    attempts = int(os.environ.get("BENCH_E2E_ATTEMPTS", "3"))
+    # clamped to >= 1: zero attempts would leave the loop unrun and crash
+    # min() below with an empty list instead of surfacing the config error
+    attempts = max(1, int(os.environ.get("BENCH_E2E_ATTEMPTS", "3")))
     e2e_iters = max(2, iters // 2)
     span = 16 * (iters + 256)
     seed_base = int(rng.randint(0, 2**31 - 1 - attempts * span))

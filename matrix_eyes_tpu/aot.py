@@ -29,14 +29,23 @@ import hashlib
 import os
 import pickle
 import tempfile
+import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax
 
+# Thread-safety invariant (serve.py dispatches readback/encode programs
+# from handler threads): _live/_prefetched are plain dicts mutated only by
+# GIL-atomic single ops, so READS never need a lock; the expensive miss
+# path (deserialize or compile, minutes on a remote compiler) is guarded by
+# a per-key lock so N concurrent first requests for the same program
+# compile exactly once. Different keys still compile concurrently.
 _live: Dict[str, Any] = {}
 _fingerprint_memo: str | None = None
 _prefetched: Dict[str, Future] = {}
+_miss_locks: Dict[str, threading.Lock] = {}
+_miss_locks_guard = threading.Lock()
 # prefetched-but-never-consumed futures (a prefix's other signature
 # variants, stale fingerprints) would otherwise pin deserialized
 # executables for the life of the process; cap with FIFO eviction
@@ -218,23 +227,28 @@ def call_cached(name: str, fn: Callable, args: Tuple, salt: str = ""):
     key = _key(name, args, salt)
     comp = _live.get(key)
     if comp is None:
-        fut = _prefetched.pop(key, None)
-        if fut is not None:
-            try:
-                comp = fut.result()
-            except Exception:
-                comp = None
-        if comp is None:
-            comp = _load(key)
-        if comp is None:
-            if os.environ.get("MATRIX_EYES_AOT_LOG"):
-                import sys
+        with _miss_locks_guard:
+            key_lock = _miss_locks.setdefault(key, threading.Lock())
+        with key_lock:
+            comp = _live.get(key)  # a concurrent miss may have filled it
+            if comp is None:
+                fut = _prefetched.pop(key, None)
+                if fut is not None:
+                    try:
+                        comp = fut.result()
+                    except Exception:
+                        comp = None
+                if comp is None:
+                    comp = _load(key)
+                if comp is None:
+                    if os.environ.get("MATRIX_EYES_AOT_LOG"):
+                        import sys
 
-                print(f"aot: MISS {name} -> compiling (key {key[:12]})",
-                      file=sys.stderr, flush=True)
-            comp = jax.jit(fn).lower(*args).compile()
-            _store(key, comp)
-        _live[key] = comp
+                        print(f"aot: MISS {name} -> compiling (key {key[:12]})",
+                              file=sys.stderr, flush=True)
+                    comp = jax.jit(fn).lower(*args).compile()
+                    _store(key, comp)
+                _live[key] = comp
     try:
         return comp(*args)
     except Exception:

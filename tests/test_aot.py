@@ -65,3 +65,35 @@ def test_disabled_env_uses_plain_jit(cachedir, monkeypatch):
     out = aot.call_cached("t3", lambda x: x * 3, (x,))
     np.testing.assert_allclose(np.asarray(out), np.arange(4.0) * 3)
     assert not os.path.exists(cachedir) or not os.listdir(cachedir)
+
+
+def test_concurrent_cold_misses_compile_once(cachedir):
+    """N threads hitting the same cold key must compile exactly once (the
+    per-key miss lock): serve dispatches readback/encode programs from
+    handler threads, and a duplicated multi-minute remote compile is the
+    failure mode the lock exists for."""
+    import threading
+
+    compiles = []
+    barrier = threading.Barrier(4)
+    results = []
+
+    def fn(x):
+        compiles.append(1)  # runs once per TRACE (i.e. per compile)
+        return (x + 1.0).sum()
+
+    x = jnp.arange(16.0)
+
+    def worker():
+        barrier.wait()
+        results.append(np.asarray(
+            aot.call_cached("concurrent", fn, (x,), salt="s")))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r == results[0] for r in results)
+    assert len(compiles) == 1, f"compiled {len(compiles)} times, want 1"

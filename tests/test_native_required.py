@@ -1,0 +1,39 @@
+"""The native encoders must BUILD, not skip (round-3 verdict weak #2).
+
+The byte-exactness suites (test_pngwriter.py, test_native_writer.py) skip
+when the on-demand g++/zlib build fails, which means a broken toolchain
+image would turn the PNG/OBJ byte contracts green-by-skip. These tests
+assert the builds themselves, unconditionally, so a runner without a
+working g++ + zlib fails loudly instead.
+
+Escape hatch: MATRIX_EYES_ALLOW_NO_NATIVE=1 skips (for end users on
+machines with no compiler, NOT for CI -- .github/workflows/ci.yml installs
+g++/zlib1g-dev explicitly and never sets it).
+"""
+
+import os
+
+import pytest
+
+_allowed_off = os.environ.get("MATRIX_EYES_ALLOW_NO_NATIVE") == "1"
+
+
+@pytest.mark.skipif(_allowed_off, reason="MATRIX_EYES_ALLOW_NO_NATIVE=1")
+def test_native_png_encoder_builds():
+    from matrix_eyes_tpu.native import pngwriter
+
+    assert pngwriter.available(), (
+        "native striped PNG encoder failed to build -- the byte-exactness "
+        "suites would silently skip; check g++ and zlib headers "
+        "(zlib1g-dev), or set MATRIX_EYES_ALLOW_NO_NATIVE=1 on a "
+        "compiler-less machine")
+
+
+@pytest.mark.skipif(_allowed_off, reason="MATRIX_EYES_ALLOW_NO_NATIVE=1")
+def test_native_mesh_writer_builds():
+    from matrix_eyes_tpu.native import meshwriter
+
+    assert meshwriter.available(), (
+        "native mesh writer failed to build -- the OBJ/PLY byte contracts "
+        "would silently skip; check g++, or set "
+        "MATRIX_EYES_ALLOW_NO_NATIVE=1 on a compiler-less machine")

@@ -47,8 +47,20 @@ def test_f32_stage_parity_under_one_percent(art):
 
 @pytest.mark.parametrize("art", TPU_E2E, ids=os.path.basename)
 def test_half_precision_canonical_contract(art):
+    """The enforceable half-precision claim (one number, promised nowhere
+    looser, asserted here): canonical mean_rel < 1 % AND p99_rel < 7 %.
+
+    The p99 bound is the honest one the round-3 attribution supports:
+    ~85 % of the half-precision tail is WEIGHT rounding (bf16 weights vs
+    f32), so no activation policy can push p99 below that floor
+    (docs/PARITY_RESULTS.md, scripts/bf16_attribution.py). Committed
+    artifacts measure p99 5.2-6.1 % on this fixture class; the
+    reference-grade path for tail-sensitive users is --dtype f32 (true-f32
+    MXU matmuls, 0.931 s/image -- still under target). The same thresholds
+    appear in docs/TRAINED_WEIGHTS_RUNBOOK.md's pass-criteria table."""
     r = _load(art)
     assert r["canonical"]["mean_rel"] < 0.01, r["mode"]
+    assert r["canonical"]["p99_rel"] < 0.07, r["mode"]
 
 
 def test_hf_three_way_cross_check():
