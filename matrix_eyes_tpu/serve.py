@@ -22,8 +22,10 @@ Routes
   PNG (``image/png``) or mesh bytes (OBJ ``text/plain``, PLY binary
   ``application/octet-stream``). Optional query params mirror the CLI
   flags: ``focal-length``, ``resize-scale``, ``stereo-amplitude``,
-  ``vertex-mode`` (meshes: plain|vertex-colors; texture-coordinates is
-  rejected -- its .mtl sidecar cannot ride a single HTTP response).
+  ``vertex-mode`` (meshes: plain|vertex-colors|texture-coordinates --
+  the last returns ``application/zip`` for OBJ, bundling the .obj, its
+  .mtl sidecar and the texture image the .mtl references, all relative
+  paths, matching the CLI's on-disk layout; output.rs:525-547).
 * ``POST /v1/depth`` -- clamped inverse depth at model grid resolution as
   an ``.npy`` payload (``application/x-npy``), the serving-friendly form
   of ``MatrixEyes.inverse_depth``.
@@ -32,9 +34,12 @@ Device dispatch is serialised with a lock: one chip runs one forward at a
 time anyway, and the AOT/sharding caches on the session are not written
 for concurrent mutation. Request decode/encode (the host-side work)
 happens outside the lock, so overlapping requests pipeline naturally.
-Errors map to JSON: 400 for bad inputs (undecodable image, unknown
-format, bad numbers), 500 for reconstruction failures -- the same stage
-messages the CLI prints (errors.py).
+In-flight POST work is bounded by a semaphore (``--max-inflight``,
+default 8): excess requests get an immediate 503 + Retry-After instead of
+pinning an unbounded number of handler threads each holding a decoded
+body. Errors map to JSON: 400 for bad inputs (undecodable image, unknown
+format, out-of-range numbers), 500 for reconstruction failures -- the
+same stage messages the CLI prints (errors.py).
 """
 
 from __future__ import annotations
@@ -64,7 +69,13 @@ class BadRequest(ValueError):
     """Client-side error -> HTTP 400."""
 
 
-def _one_float(q: dict, name: str) -> Optional[float]:
+class _OversizedBody(BadRequest):
+    """The body was never read; the connection must be torn down after the
+    reply (a keep-alive peer still streaming its upload could otherwise
+    deadlock against the unread socket buffer)."""
+
+
+def _one_float(q: dict, name: str, positive: bool = False) -> Optional[float]:
     vals = q.get(name)
     if not vals:
         return None
@@ -74,13 +85,49 @@ def _one_float(q: dict, name: str) -> Optional[float]:
         raise BadRequest(f"{name} must be a number, got {vals[-1]!r}")
     if not (v == v) or v in (float("inf"), float("-inf")):
         raise BadRequest(f"{name} must be finite")
+    if positive and v <= 0:
+        # range errors are the CLIENT's fault: without this they surface
+        # deep in the pipeline as a 500 (zero-size stereogram geometry,
+        # negative focal) when they should be a 400
+        raise BadRequest(f"{name} must be > 0, got {v}")
     return v
+
+
+def _sniff_image_ext(path: str) -> str:
+    """Extension for the decoded body's actual encoding (PIL reads the
+    header only); OBJ viewers resolve map_Kd textures by extension."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            fmt = (im.format or "").lower()
+    except Exception:
+        fmt = ""
+    return {"jpeg": ".jpg", "png": ".png", "bmp": ".bmp",
+            "tiff": ".tif", "webp": ".webp"}.get(fmt, ".img")
+
+
+def _zip_files(directory: str, names) -> bytes:
+    """Zip ``names`` (paths relative to ``directory``) into one in-memory
+    archive. Deflate level 1: a 12 MP mesh's OBJ is hundreds of MB of
+    ASCII; level 1 compresses it several-fold at ~100 MB/s, higher levels
+    only add latency."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as zf:
+        for name in names:
+            zf.write(os.path.join(directory, name), arcname=name)
+    return buf.getvalue()
 
 
 class _Handler(BaseHTTPRequestHandler):
     # set by create_server
     session = None
     lock: threading.Lock = None
+    inflight: threading.BoundedSemaphore = None
     protocol_version = "HTTP/1.1"
 
     # -- plumbing ----------------------------------------------------------
@@ -109,7 +156,7 @@ class _Handler(BaseHTTPRequestHandler):
             # the body stays unread: a keep-alive peer would have its next
             # request parsed out of these bytes, so drop the connection
             self.close_connection = True
-            raise BadRequest(f"body too large ({length} bytes)")
+            raise _OversizedBody(f"body too large ({length} bytes)")
         return self.rfile.read(length)
 
     # -- routes ------------------------------------------------------------
@@ -134,33 +181,64 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         url = urlparse(self.path)
         q = parse_qs(url.query)
+        # Bound in-flight work BEFORE reading the body: ThreadingHTTPServer
+        # spawns a thread per connection with no queue limit, so without
+        # this N slow clients pin N threads each holding a ~36 MB body.
+        # Excess load gets an immediate 503 (and the connection dropped --
+        # the unread body would desync a keep-alive stream).
+        if not self.inflight.acquire(blocking=False):
+            self.close_connection = True
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = b'{"error": "server at capacity"}\n'
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         try:
-            body = self._read_body()
-            if url.path == "/v1/process":
-                out, ctype = self._process(body, q)
-            elif url.path == "/v1/depth":
-                out, ctype = self._depth(body, q)
-            else:
-                self._reply_json(404, {"error": f"no such route: {url.path}"})
-                return
-        except BadRequest as e:
-            self._reply_json(400, {"error": str(e)})
-            return
-        except ReconstructionError as e:
-            # undecodable body etc. -- the client's fault
-            self._reply_json(400, {"error": str(e)})
-            return
-        except MatrixEyesError as e:
-            self._reply_json(500, {"error": str(e)})
-            return
-        except Exception as e:  # runtime/device errors: reply, don't drop
-            import traceback
+            try:
+                body = self._read_body()
+                if url.path == "/v1/process":
+                    out, ctype = self._process(body, q)
+                elif url.path == "/v1/depth":
+                    out, ctype = self._depth(body, q)
+                else:
+                    self._reply_json(404, {"error": f"no such route: {url.path}"})
+                    return
+            except _OversizedBody as e:
+                # reply, then shut the socket down hard: a client still
+                # streaming its oversized upload may never read our
+                # response while blocked on send() against the server's
+                # full (unread) receive buffer
+                self._reply_json(400, {"error": str(e)})
+                import socket as _socket
 
-            traceback.print_exc()
-            self.close_connection = True  # state after a raw failure is
-            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
-            return                        # not worth trusting for reuse
-        self._reply(200, out, ctype)
+                try:
+                    self.connection.shutdown(_socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                return
+            except BadRequest as e:
+                self._reply_json(400, {"error": str(e)})
+                return
+            except ReconstructionError as e:
+                # undecodable body etc. -- the client's fault
+                self._reply_json(400, {"error": str(e)})
+                return
+            except MatrixEyesError as e:
+                self._reply_json(500, {"error": str(e)})
+                return
+            except Exception as e:  # runtime/device errors: reply, don't drop
+                import traceback
+
+                traceback.print_exc()
+                self.close_connection = True  # state after a raw failure is
+                self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return                        # not worth trusting for reuse
+            self._reply(200, out, ctype)
+        finally:
+            self.inflight.release()
 
     # -- work --------------------------------------------------------------
 
@@ -179,17 +257,21 @@ class _Handler(BaseHTTPRequestHandler):
         # validated for EVERY request: an invalid value must 400, never
         # reach VertexMode() and crash the handler
         vertex_mode = (q.get("vertex-mode") or ["vertex-colors"])[-1]
-        if vertex_mode == "texture-coordinates":
+        if vertex_mode not in ("plain", "vertex-colors",
+                               "texture-coordinates"):
             raise BadRequest(
-                "vertex-mode=texture-coordinates writes a .mtl sidecar "
-                "and cannot be served as one response; use the CLI")
-        if vertex_mode not in ("plain", "vertex-colors"):
-            raise BadRequest(
-                f"vertex-mode must be plain|vertex-colors, got "
-                f"{vertex_mode!r}")
-        focal = _one_float(q, "focal-length")
-        resize_scale = _one_float(q, "resize-scale")
-        amplitude = _one_float(q, "stereo-amplitude")
+                f"vertex-mode must be plain|vertex-colors|"
+                f"texture-coordinates, got {vertex_mode!r}")
+        # OBJ texture mode writes a .mtl sidecar referencing the texture
+        # image (output.rs:525-547): served as a zip of all three files,
+        # with relative paths, exactly the CLI's on-disk layout. (PLY has
+        # no sidecar in any mode; it stays a single binary response.)
+        texture_zip = fmt == "obj" and vertex_mode == "texture-coordinates"
+        if texture_zip:
+            ctype = "application/zip"
+        focal = _one_float(q, "focal-length", positive=True)
+        resize_scale = _one_float(q, "resize-scale", positive=True)
+        amplitude = _one_float(q, "stereo-amplitude", positive=True)
         if amplitude is None:
             amplitude = 1.0 / 16.0
         image_format = ImageOutputFormat(
@@ -215,6 +297,19 @@ class _Handler(BaseHTTPRequestHandler):
             # readback + encode outside the lock (the shift/render
             # programs it dispatches are ~ms of device time; JAX dispatch
             # is thread-safe, so this overlaps the next request's forward)
+            if texture_zip:
+                # the .mtl's map_Kd must be a RELATIVE name that exists
+                # inside the zip; the texture is the request body itself,
+                # named by its sniffed encoding
+                tex_name = "texture" + _sniff_image_ext(src)
+                tex_path = os.path.join(d, tex_name)
+                os.replace(src, tex_path)
+                dm.output_image(dst, tex_name, image_format=image_format,
+                                vertex_mode=VertexMode(vertex_mode),
+                                resize_scale=resize_scale,
+                                amplitude=amplitude, seed=seed,
+                                stereo_noise=noise)
+                return _zip_files(d, ["out.obj", "out.mtl", tex_name]), ctype
             dm.output_image(dst, src, image_format=image_format,
                             vertex_mode=VertexMode(vertex_mode),
                             resize_scale=resize_scale, amplitude=amplitude,
@@ -227,7 +322,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         import numpy as np
 
-        focal = _one_float(q, "focal-length")
+        focal = _one_float(q, "focal-length", positive=True)
         with tempfile.TemporaryDirectory(prefix="me_serve_") as d:
             src = os.path.join(d, "src.bin")
             with open(src, "wb") as f:
@@ -243,16 +338,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def create_server(session, host: str = "127.0.0.1",
-                  port: int = 8000) -> ThreadingHTTPServer:
+                  port: int = 8000,
+                  max_inflight: int = 8) -> ThreadingHTTPServer:
     """A ready-to-run server bound to ``session`` (an api.MatrixEyes).
 
     Separated from main() so tests (and embedders) can run it on an
     ephemeral port in a thread: ``create_server(me, port=0)`` then
     ``server.serve_forever()`` / ``server.shutdown()``.
+
+    ``max_inflight`` bounds concurrent POST work (body held + pipeline
+    running); requests beyond it get 503 + Retry-After immediately.
     """
     handler = type("BoundHandler", (_Handler,), {
         "session": session,
         "lock": threading.Lock(),
+        "inflight": threading.BoundedSemaphore(max_inflight),
     })
     return ThreadingHTTPServer((host, port), handler)
 
@@ -274,6 +374,8 @@ def main(argv=None) -> int:
                     help="stereogram noise seed")
     ap.add_argument("--no-flash-attention", action="store_true")
     ap.add_argument("--convert-checkpoints", action="store_true")
+    ap.add_argument("--max-inflight", type=int, default=8,
+                    help="concurrent in-flight POST bound (excess -> 503)")
     args = ap.parse_args(argv)
 
     session = MatrixEyes(
@@ -283,7 +385,8 @@ def main(argv=None) -> int:
         flash_attention=False if args.no_flash_attention else None,
         convert_checkpoints=args.convert_checkpoints,
     )
-    server = create_server(session, args.host, args.port)
+    server = create_server(session, args.host, args.port,
+                           max_inflight=args.max_inflight)
     host, port = server.server_address[:2]
     print(f"serving depth_pro on http://{host}:{port} "
           f"(/healthz, /v1/process, /v1/depth)", flush=True)

@@ -104,7 +104,13 @@ def test_depth_npy_matches_api(served):
 @pytest.mark.parametrize("path,code", [
     ("/v1/process?format=watercolor", 400),   # unknown format
     ("/v1/process?focal-length=nan", 400),    # non-finite number
-    ("/v1/process?format=obj&vertex-mode=texture-coordinates", 400),
+    ("/v1/process?format=obj&vertex-mode=wireframe", 400),
+    # range errors are client errors: they must 400 up front, not surface
+    # as 500s from deep inside the pipeline
+    ("/v1/process?format=stereogram&resize-scale=0", 400),
+    ("/v1/process?format=stereogram&stereo-amplitude=-1", 400),
+    ("/v1/process?focal-length=0", 400),
+    ("/v1/depth?focal-length=-3", 400),
     ("/v1/nope", 404),
 ])
 def test_bad_requests(served, path, code):
@@ -153,6 +159,82 @@ def test_runtime_error_returns_500_json(served):
         assert "device fell over" in json.loads(ei.value.read())["error"]
     finally:
         me.depth_map = orig
+
+
+def test_texture_mode_served_as_zip(served, tmp_path):
+    """vertex-mode=texture-coordinates (the round-3 format gap): OBJ comes
+    back as a zip of out.obj + out.mtl + the texture, with the .mtl's
+    map_Kd resolving inside the archive; the .obj bytes equal the library
+    path's (the server is a transport, not a different compute path)."""
+    import zipfile
+
+    base, jpeg, me = served
+    code, ctype, body = _post(
+        base + "/v1/process?format=obj&focal-length=35"
+               "&vertex-mode=texture-coordinates", jpeg)
+    assert code == 200 and ctype == "application/zip"
+    zf = zipfile.ZipFile(io.BytesIO(body))
+    assert set(zf.namelist()) == {"out.obj", "out.mtl", "texture.jpg"}
+    mtl = zf.read("out.mtl").decode()
+    assert "map_Kd texture.jpg" in mtl
+    obj = zf.read("out.obj").decode()
+    assert "mtllib out.mtl" in obj and "usemtl Textured" in obj
+
+    src = tmp_path / "photo.jpg"
+    src.write_bytes(jpeg)
+    me.process(str(src), str(tmp_path / "out.obj"), focal_length_35mm=35.0,
+               vertex_mode="texture-coordinates")
+    assert zf.read("out.obj") == (tmp_path / "out.obj").read_bytes()
+
+
+def test_ply_texture_mode_stays_single_response(served):
+    # PLY has no sidecar in any vertex mode: texture-coordinates must not
+    # be rejected, and the response stays one binary PLY
+    base, jpeg, _ = served
+    code, ctype, body = _post(
+        base + "/v1/process?format=ply&focal-length=35"
+               "&vertex-mode=texture-coordinates", jpeg)
+    assert code == 200 and ctype == "application/octet-stream"
+    assert body.startswith(b"ply\n")
+
+
+def test_overload_returns_503(served):
+    """More concurrent POSTs than --max-inflight: the excess request gets
+    an immediate 503 + Retry-After while the in-flight one completes."""
+    import concurrent.futures
+
+    base, jpeg, me = served
+    release = threading.Event()
+    started = threading.Event()
+    orig = me.depth_map
+
+    def slow(*a, **k):
+        started.set()
+        release.wait(10)
+        return orig(*a, **k)
+
+    me.depth_map = slow
+    server = create_server(me, port=0, max_inflight=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    b2 = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(_post, b2 + "/v1/depth?focal-length=35", jpeg)
+            assert started.wait(10), "first request never reached the model"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(b2 + "/v1/depth?focal-length=35", jpeg)
+            assert ei.value.code == 503
+            assert ei.value.headers.get("Retry-After")
+            release.set()
+            code, _, _ = fut.result(timeout=30)
+            assert code == 200
+    finally:
+        release.set()
+        me.depth_map = orig
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
 
 
 def test_concurrent_requests_both_succeed(served):
