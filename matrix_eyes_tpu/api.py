@@ -208,3 +208,51 @@ class MatrixEyes:
             seed=self.runtime.seed,
             stereo_noise=stereo_noise,
         )
+
+    def process_batch(
+        self,
+        jobs: "list",
+        batch_size: int = 4,
+        focal_length_35mm: Optional[float] = None,
+        image_format: str = "depthmap",
+        vertex_mode: str = "vertex-colors",
+        resize_scale: Optional[float] = None,
+        stereo_amplitude: float = 1.0 / 16.0,
+        mesh=None,
+    ) -> None:
+        """Photos -> output files with ONE forward per ``batch_size`` images
+        (the CLI's ``--batch-size`` through the library; BASELINE config 5).
+
+        ``jobs``: list of ``(source_path, destination_path)``. Per-image
+        EXIF focal lengths and output geometry are honoured exactly like
+        :meth:`process`; images lacking a focal length engage the FOV head
+        for the whole batch (forward_with_mixed_fnorm). ``mesh`` shards the
+        image batch over its data axis (``parallel.make_mesh``).
+        """
+        from matrix_eyes_tpu.pipeline import extract_depth_batch
+
+        params = self.params
+        if mesh is not None:
+            # same per-mesh sharded-params cache as inverse_depth_batch
+            from matrix_eyes_tpu.parallel.sharding import shard_params
+
+            cached = getattr(self, "_sharded_params", {})
+            params = cached.get(mesh)
+            if params is None:
+                params = shard_params(self.params, mesh,
+                                      num_heads=self.cfg.num_heads)
+                cached[mesh] = params
+                self._sharded_params = cached
+        extract_depth_batch(
+            self.cfg,
+            params,
+            jobs,
+            batch_size,
+            focal_length_35mm=focal_length_35mm,
+            image_format=ImageOutputFormat(image_format),
+            vertex_mode=VertexMode(vertex_mode),
+            resize_scale=resize_scale,
+            stereo_amplitude=stereo_amplitude,
+            runtime=self.runtime,
+            mesh=mesh,
+        )

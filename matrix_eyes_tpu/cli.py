@@ -41,6 +41,7 @@ Options:
       --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16, int8]
       --seed=<SEED>                       Stereogram noise seed [default: 0]
       --devices=<N | DATAxMODEL>          Run sharded over a device mesh, e.g. 8 or 4x2 [default: single device]
+      --batch-size=<N>                    Images per forward in directory mode [default: 1]
       --no-flash-attention                Disable the Pallas flash-attention kernel
       --profile=<DIR>                     Write a jax.profiler trace of the run to DIR
       --help                              Print help"""
@@ -58,6 +59,7 @@ class Args:
     dtype: Optional[str] = None
     seed: int = 0
     devices: Optional[tuple] = None  # (data, model) mesh shape
+    batch_size: int = 1
     flash_attention: Optional[bool] = None
     profile_dir: Optional[str] = None
     img_src: str = ""
@@ -140,6 +142,14 @@ def parse_args(argv: List[str], stdout=None, stderr=None) -> Args:
                     return (dims[0], dims[1] if len(dims) == 2 else 1)
 
                 args.devices = parse_value(name, value, mesh_shape)
+            elif name == "--batch-size":
+                def batch_size(v: str) -> int:
+                    n = int(v)  # ValueError on junk
+                    if n < 1:
+                        raise ValueError("batch size must be >= 1")
+                    return n
+
+                args.batch_size = parse_value(name, value, batch_size)
             elif name == "--profile":
                 args.profile_dir = value
             else:
@@ -253,8 +263,17 @@ def run(args: Args, progress=None) -> None:
     # upload (network/PCIe). See aot.prefetch_async.
     from matrix_eyes_tpu import aot
 
+    batched = batch and args.batch_size > 1
+    if args.batch_size > 1 and not batch:
+        print("--batch-size only applies when the source is a directory; "
+              "ignored", file=sys.stderr)
+    if batched:
+        fwd_name = (f"fwd_mixed_b{args.batch_size}" if need_fov
+                    else f"fwd_fnorm_b{args.batch_size}")
+    else:
+        fwd_name = "fwd_fov" if need_fov else "fwd_fnorm"
     aot.prefetch_async((
-        "preprocess", "fwd_fov" if need_fov else "fwd_fnorm",
+        "preprocess", fwd_name,
         "stereogram_noise", "stereogram_shift", "stereogram_bands",
         "stereogram",
         "render_depthmap_bands", "render_depthmap",
@@ -273,6 +292,28 @@ def run(args: Args, progress=None) -> None:
 
         with timings.span("shard parameters"):
             params = shard_params(params, mesh, num_heads=cfg.num_heads)
+    if batched:
+        # --batch-size=N: one forward per N images over the pyramid patch
+        # axis (BASELINE config 5 through the product surface). Composes
+        # with --devices: the image batch shards over the mesh's data axis.
+        from matrix_eyes_tpu.pipeline import extract_depth_batch
+
+        extract_depth_batch(
+            cfg,
+            params,
+            [(s, o) for s, o, _src in jobs],
+            args.batch_size,
+            focal_length_35mm=args.focal_length,
+            image_format=ImageOutputFormat(args.output_format),
+            vertex_mode=VertexMode(args.vertex_mode),
+            resize_scale=args.resize_scale,
+            stereo_amplitude=args.stereo_amplitude,
+            runtime=runtime,
+            progress=progress,
+            mesh=mesh,
+            need_fov=need_fov,
+        )
+        return
     # Batch throughput: decode image k+1 on a worker thread while image k
     # runs on the device (the reference is one image per process,
     # main.rs:149-173; this overlap is free because host JPEG decode and

@@ -38,6 +38,195 @@ def preprocess_image(rgb_u8: jnp.ndarray, img_size: int, dtype=jnp.float32) -> j
     return x[None].astype(dtype)
 
 
+def extract_depth_batch(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    jobs,
+    batch_size: int,
+    focal_length_35mm: Optional[float] = None,
+    image_format: ImageOutputFormat = ImageOutputFormat.DEPTH_MAP,
+    vertex_mode: VertexMode = VertexMode.COLOR,
+    resize_scale: Optional[float] = None,
+    stereo_amplitude: float = 1.0 / 16.0,
+    runtime: Optional[RuntimeConfig] = None,
+    progress=None,
+    mesh=None,
+    need_fov: Optional[bool] = None,
+) -> None:
+    """Batched pipeline over many images: ONE forward per ``batch_size``
+    photos (BASELINE config 5 wired into the product surface).
+
+    The batch rides the encoder's pyramid patch axis (35 patches per image,
+    encoder.rs:142-156's split axis), so per-image device cost drops well
+    below single-image latency and scales across a ``mesh``'s data axis.
+    Semantics match running :func:`extract_depth` per image -- per-image
+    EXIF focal lengths, per-image output geometry, the same stage-specific
+    failure messages -- except that images sharing a chunk go through one
+    XLA program (a different executable than the single-image one, so f32
+    sums may associate differently at the last ulp).
+
+    ``jobs``: sequence of ``(source_path, destination_path)``.
+    ``need_fov``: whether some image lacks a focal length (the caller
+    probed EXIF headers already; ``None`` = decide per chunk). When True,
+    the FOV head runs for the whole batch and per-image known focals
+    override its estimate (models.depth_pro.forward_with_mixed_fnorm).
+
+    Chunks are padded to ``batch_size`` by repeating the last image so
+    every chunk replays the SAME compiled executable (static shapes: one
+    AOT entry per batch size, not one per remainder)."""
+    runtime = runtime or RuntimeConfig()
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    import contextlib
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    from matrix_eyes_tpu import aot, timings
+    from matrix_eyes_tpu.config import configure_matmul_precision
+    from matrix_eyes_tpu.errors import MatrixEyesError, ReconstructionError
+    from matrix_eyes_tpu.output.depthmap import maybe_prefetch_stereo_noise
+
+    def stage_error(msg: str, err: Exception):
+        print(f"{msg}: {err}", file=sys.stderr)
+        if isinstance(err, MatrixEyesError):
+            return err
+        return ReconstructionError(f"{msg}: {err}")
+
+    rt_dtype = runtime.resolved_dtype()
+    configure_matmul_precision(rt_dtype)
+    use_flash = runtime.use_flash_attention()
+
+    jobs = list(jobs)
+    chunks = [jobs[i:i + batch_size] for i in range(0, len(jobs), batch_size)]
+
+    def pre(rgb):
+        return preprocess_image.__wrapped__(rgb, cfg.img_size, rt_dtype)
+
+    salt = f"{cfg!r}|flash={use_flash}"
+    if mesh is not None:
+        from matrix_eyes_tpu.parallel import patch_sharded, shard_batch
+
+        salt += f"|mesh={dict(mesh.shape)}"
+
+    def decode(path):
+        return load_source_image(path, focal_length_35mm)
+
+    # Decode chunk k+1 on a worker thread while chunk k runs on the device
+    # (same overlap as the single-image batch loop in cli.run). Failures
+    # are re-raised when the prefetched result is consumed, with the
+    # canonical per-stage message naming the failing file.
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="me-decode") \
+        if len(chunks) > 1 else None
+    next_futs = None
+    try:
+        for ci, chunk in enumerate(chunks):
+            pl_chunk = SplitProgressListener(
+                progress, ci / len(chunks), (ci + 1) / len(chunks))
+            pl_model, pl_out = pl_chunk.split_range(0.9)
+            futs, next_futs = next_futs, None
+            pl_model.update_message("loading source images")
+            srcs = []
+            for j, (src_path, _out) in enumerate(chunk):
+                try:
+                    with timings.span("decode source image"):
+                        if futs is not None:
+                            srcs.append(futs[j].result())
+                        else:
+                            srcs.append(decode(src_path))
+                except Exception as err:
+                    raise stage_error(
+                        f"Failed to load source image {src_path}", err) from err
+            try:
+                with timings.span("preprocess (device)"):
+                    imgs = [aot.call_cached(
+                        "preprocess", pre, (jnp.asarray(s.rgb),),
+                        salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
+                        for s in srcs]
+                    pad = batch_size - len(chunk)
+                    img = jnp.concatenate(imgs + [imgs[-1]] * pad)
+                    if mesh is not None:
+                        img = shard_batch(img, mesh)
+            except Exception as err:
+                raise stage_error("Failed to load source image", err) from err
+
+            # kick off the NEXT chunk's decodes before this chunk's device
+            # work so they overlap it
+            if pool is not None and ci + 1 < len(chunks):
+                next_futs = [pool.submit(decode, p)
+                             for p, _o in chunks[ci + 1]]
+
+            f_norms = [s.f_norm() for s in srcs]
+            f_norms = f_norms + [f_norms[-1]] * pad
+            # Stereogram noise planes depend only on (seed, geometry):
+            # prefetch every image's BEFORE the forward so their transfers
+            # ride the link while the device computes the whole batch.
+            noises = [maybe_prefetch_stereo_noise(
+                out, image_format, s.original_size, resize_scale,
+                stereo_amplitude, runtime.seed)
+                for (_s, out), s in zip(chunk, srcs)]
+
+            pl_model.update_message("extracting depth")
+            try:
+                shard_ctx = patch_sharded(mesh) if mesh is not None \
+                    else contextlib.nullcontext()
+                fov = need_fov if need_fov is not None \
+                    else any(f is None for f in f_norms)
+                if fov and "fov" not in params:
+                    raise ReconstructionError(
+                        "Model error: an image carries no focal length but "
+                        "the FOV weights were not loaded")
+                with timings.span("model forward"), shard_ctx:
+                    if not fov:
+                        def fwd(p, im, f):
+                            return depth_pro.forward_with_fnorm.__wrapped__(
+                                cfg, p, im, f, use_flash)
+
+                        inv = aot.call_cached(
+                            f"fwd_fnorm_b{batch_size}", fwd,
+                            (params, img, jnp.asarray(f_norms, jnp.float32)),
+                            salt)
+                    else:
+                        def fwd(p, im, f, h):
+                            return depth_pro.forward_with_mixed_fnorm.__wrapped__(
+                                cfg, p, im, f, h, use_flash)
+
+                        f_arr = jnp.asarray(
+                            [f if f is not None else 1.0 for f in f_norms],
+                            jnp.float32)
+                        has_f = jnp.asarray(
+                            [f is not None for f in f_norms])
+                        inv, _fov_deg = aot.call_cached(
+                            f"fwd_mixed_b{batch_size}", fwd,
+                            (params, img, f_arr, has_f), salt)
+                    if timings.enabled():
+                        inv.block_until_ready()
+            except Exception as err:
+                raise stage_error("Failed to process image", err) from err
+            pl_model.report_status(1.0)
+
+            pl_out.update_message("writing output")
+            for i, ((src_path, out_path), s) in enumerate(zip(chunk, srcs)):
+                try:
+                    with timings.span("write output"):
+                        DepthMap.new(inv[i], s.original_size).output_image(
+                            out_path,
+                            src_path,
+                            image_format=image_format,
+                            vertex_mode=vertex_mode,
+                            resize_scale=resize_scale,
+                            amplitude=stereo_amplitude,
+                            seed=runtime.seed,
+                            stereo_noise=noises[i],
+                        )
+                except Exception as err:
+                    raise stage_error(
+                        f"Failed to output result {out_path}", err) from err
+            pl_out.report_status(1.0)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
 def extract_depth(
     cfg: ModelConfig,
     params: Dict[str, Any],

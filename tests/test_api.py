@@ -135,3 +135,43 @@ def test_api_focal_override_on_preloaded_source(env):
     pre2 = SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
                        focal_length_35mm=30.0)
     np.testing.assert_array_equal(me.inverse_depth(pre2), want)
+
+
+def test_api_process_batch(env, tmp_path):
+    """process_batch writes the same files as per-image process() calls
+    (one forward per batch_size images; padding on the short final chunk)."""
+    d, ckpt, src, img = env
+    me = MatrixEyes(ckpt)
+    rng = np.random.RandomState(3)
+    srcs = [src]
+    for i in range(2):
+        p = str(tmp_path / f"s{i}.png")
+        Image.fromarray(rng.randint(0, 256, (30 + i, 44, 3), np.uint8)).save(p)
+        srcs.append(p)
+    singles = [str(tmp_path / f"one{i}.png") for i in range(3)]
+    for s, o in zip(srcs, singles):
+        me.process(s, o, focal_length_35mm=35.0, image_format="stereogram")
+    batched = [str(tmp_path / f"bat{i}.png") for i in range(3)]
+    me.process_batch(list(zip(srcs, batched)), batch_size=2,
+                     focal_length_35mm=35.0, image_format="stereogram")
+    for i, (a, b) in enumerate(zip(singles, batched)):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), f"output {i} differs"
+
+
+def test_api_process_batch_on_mesh(env, tmp_path):
+    d, ckpt, src, img = env
+    from matrix_eyes_tpu.parallel import make_mesh
+
+    me = MatrixEyes(ckpt)
+    mesh = make_mesh(4, model=2)
+    plain = [str(tmp_path / f"pb_plain{i}.png") for i in range(2)]
+    mesh_out = [str(tmp_path / f"pb_mesh{i}.png") for i in range(2)]
+    me.process_batch([(src, o) for o in plain], batch_size=2,
+                     focal_length_35mm=35.0)
+    me.process_batch([(src, o) for o in mesh_out], batch_size=2,
+                     focal_length_35mm=35.0, mesh=mesh)
+    for a, b in zip(plain, mesh_out):
+        pa = np.asarray(Image.open(a)).astype(np.int16)
+        pb = np.asarray(Image.open(b)).astype(np.int16)
+        assert np.abs(pa - pb).max() <= 1

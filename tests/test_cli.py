@@ -385,3 +385,116 @@ def test_cli_batch_fov_lazy_load(workdir, tmp_path, monkeypatch, all_exif):
     assert rc == 0
     assert ("fov" in seen["parts"]) == (not all_exif)
     assert (outdir / "a.png").exists() and (outdir / "b.png").exists()
+
+
+# --- batched forwards (--batch-size) ----------------------------------------
+
+def test_parse_batch_size():
+    assert _parse(["a", "b"]).batch_size == 1
+    assert _parse(["--batch-size=4", "a", "b"]).batch_size == 4
+    for bad in ("0", "-2", "x", "1.5"):
+        with pytest.raises(SystemExit) as e:
+            _parse([f"--batch-size={bad}", "a", "b"])
+        assert e.value.code == 2, bad
+
+
+def _varied_dir(tmp_path, name, n, focals=None):
+    """n distinct images (different content AND sizes) under tmp_path/name."""
+    srcdir = tmp_path / name
+    srcdir.mkdir()
+    for i in range(n):
+        rng = np.random.RandomState(100 + i)
+        img = Image.fromarray(
+            rng.randint(0, 256, size=(40 + 4 * i, 60 - 2 * i, 3), dtype=np.uint8))
+        kw = {"quality": 95}
+        if focals and focals[i] is not None:
+            exif = Image.Exif()
+            exif[0xA405] = focals[i]
+            kw["exif"] = exif
+        img.save(str(srcdir / f"img{i}.jpg"), **kw)
+    return srcdir
+
+
+@pytest.mark.parametrize("fmt", ["depthmap", "stereogram"])
+def test_cli_batch_size_outputs_match_batch1(workdir, tmp_path, fmt):
+    """--batch-size=2 over 3 images (so the last chunk is PADDED to the
+    batch size) must write byte-identical files to the batch-1 loop: the
+    batch axis is elementwise-independent through the whole network, and
+    padding rows cannot leak into real rows."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, f"in_bs_{fmt}", 3)
+    out1 = tmp_path / f"out_b1_{fmt}"
+    out2 = tmp_path / f"out_b2_{fmt}"
+    out1.mkdir()
+    out2.mkdir()
+    base = [f"--checkpoint-path={ckpt}", "--focal-length=28",
+            f"--image-output-format={fmt}"]
+    assert _run(base + [str(srcdir), str(out1)]) == 0
+    assert _run(base + ["--batch-size=2", str(srcdir), str(out2)]) == 0
+    for i in range(3):
+        a = (out1 / f"img{i}.png").read_bytes()
+        b = (out2 / f"img{i}.png").read_bytes()
+        assert a == b, f"img{i} differs between batch-1 and batch-2 runs"
+
+
+def test_cli_batch_size_mixed_exif(workdir, tmp_path):
+    """Mixed per-image focal lengths in one chunk: known focals override the
+    FOV estimate per image (forward_with_mixed_fnorm), and each image's
+    output matches its own single-image run."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_mixed", 2, focals=[28, None])
+    out1 = tmp_path / "out_bsm_1"
+    out2 = tmp_path / "out_bsm_2"
+    out1.mkdir()
+    out2.mkdir()
+    assert _run([f"--checkpoint-path={ckpt}", str(srcdir), str(out1)]) == 0
+    assert _run([f"--checkpoint-path={ckpt}", "--batch-size=2",
+                 str(srcdir), str(out2)]) == 0
+    for i in range(2):
+        assert (out1 / f"img{i}.png").read_bytes() == \
+            (out2 / f"img{i}.png").read_bytes(), f"img{i} differs"
+
+
+def test_cli_batch_size_composes_with_devices(workdir, tmp_path):
+    """--batch-size=2 --devices=2x2: the image batch shards over the mesh's
+    data axis; outputs match the unsharded batch run up to the mesh test
+    suite's u8 quantisation tolerance."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_mesh", 2)
+    out_plain = tmp_path / "out_bsd_plain"
+    out_mesh = tmp_path / "out_bsd_mesh"
+    out_plain.mkdir()
+    out_mesh.mkdir()
+    base = [f"--checkpoint-path={ckpt}", "--focal-length=28", "--batch-size=2"]
+    assert _run(base + [str(srcdir), str(out_plain)]) == 0
+    assert _run(base + ["--devices=2x2", str(srcdir), str(out_mesh)]) == 0
+    for i in range(2):
+        with Image.open(out_plain / f"img{i}.png") as a, \
+                Image.open(out_mesh / f"img{i}.png") as b:
+            assert a.size == b.size
+            pa = np.asarray(a).astype(np.int16)
+            pb = np.asarray(b).astype(np.int16)
+        assert np.abs(pa - pb).max() <= 1
+
+
+def test_cli_batch_size_decode_error_is_canonical(workdir, tmp_path, capsys):
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_bad", 1)
+    (srcdir / "zz.jpg").write_bytes(b"not a jpeg")
+    outdir = tmp_path / "out_bs_bad"
+    outdir.mkdir()
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--batch-size=2", str(srcdir), str(outdir)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Failed to load source image" in err and "zz.jpg" in err
+
+
+def test_cli_batch_size_ignored_for_single_file(workdir, tmp_path, capsys):
+    d, ckpt, src = workdir
+    out = str(tmp_path / "bs_single.png")
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--batch-size=4", src, out])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "--batch-size only applies" in capsys.readouterr().err
