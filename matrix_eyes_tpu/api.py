@@ -175,6 +175,42 @@ class MatrixEyes:
                     self.cfg, params, img, f_arr, has_f, use_flash)
         return np.asarray(inv, np.float32)
 
+    def depth_maps(self, sources: "list",
+                   pad_to_pow2: bool = False) -> "list":
+        """ONE batched forward over pre-loaded SourceImages -> per-image
+        device-resident DepthMaps. The serving micro-batch building block
+        (serve.py coalesces concurrent requests through this).
+
+        ``pad_to_pow2`` pads the batch to the next power of two by
+        repeating the last image, bounding the number of distinct compiled
+        batch shapes to log2(max batch) + 1 (padded outputs are discarded).
+        """
+        if not sources:
+            return []
+        dt = self.runtime.resolved_dtype()
+        imgs = [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size,
+                                 dtype=dt) for s in sources]
+        n = len(imgs)
+        if pad_to_pow2:
+            target = 1 << (n - 1).bit_length()
+            imgs = imgs + [imgs[-1]] * (target - n)
+        img = jnp.concatenate(imgs)
+        f_norms = [s.f_norm() for s in sources]
+        f_norms = f_norms + [f_norms[-1]] * (len(imgs) - n)
+        use_flash = self.runtime.use_flash_attention()
+        if all(f is not None for f in f_norms):
+            inv = depth_pro.forward_with_fnorm(
+                self.cfg, self.params, img,
+                jnp.asarray(f_norms, jnp.float32), use_flash)
+        else:
+            f_arr = jnp.asarray([f if f is not None else 1.0
+                                 for f in f_norms], jnp.float32)
+            has_f = jnp.asarray([f is not None for f in f_norms])
+            inv, _ = depth_pro.forward_with_mixed_fnorm(
+                self.cfg, self.params, img, f_arr, has_f, use_flash)
+        return [DepthMap.new(inv[i], s.original_size)
+                for i, s in enumerate(sources)]
+
     # -- full pipeline -----------------------------------------------------
 
     def process(

@@ -34,6 +34,11 @@ Device dispatch is serialised with a lock: one chip runs one forward at a
 time anyway, and the AOT/sharding caches on the session are not written
 for concurrent mutation. Request decode/encode (the host-side work)
 happens outside the lock, so overlapping requests pipeline naturally.
+``--max-batch=N`` (default 1 = off) additionally coalesces concurrent
+request forwards into ONE batched XLA program (leader-follower over the
+device lock, see _MicroBatcher): burst load runs at the batched
+throughput of BASELINE config 5 instead of N serialized forwards, while
+an idle-arrival request still runs batch-1 latency.
 In-flight POST work is bounded by a semaphore (``--max-inflight``,
 default 8): excess requests get an immediate 503 + Retry-After instead of
 pinning an unbounded number of handler threads each holding a decoded
@@ -123,12 +128,108 @@ def _zip_files(directory: str, names) -> bytes:
     return buf.getvalue()
 
 
+class _MicroBatcher:
+    """Coalesce concurrent request forwards into ONE batched XLA program.
+
+    Leader-follower over the device lock: every request enqueues its
+    decoded source, then contends for the lock. Whoever holds it drains up
+    to ``max_batch`` pending jobs (its own included) and runs one batched
+    forward (``api.MatrixEyes.depth_maps``, padded to the next power of
+    two so at most log2(max_batch)+1 distinct batch shapes ever compile);
+    followers whose job was taken just wait for their result. Under burst
+    load this turns N serialized single-image forwards into ceil(N/B)
+    batched ones -- the BASELINE config-5 throughput shape, behind HTTP.
+
+    A request that arrives while the device is idle still runs batch-1
+    (padded to 1): latency is never traded away when there is no queue.
+    """
+
+    def __init__(self, session, lock: threading.Lock, max_batch: int):
+        self.session = session
+        self.lock = lock
+        self.max_batch = max_batch
+        self._q: list = []
+        self._q_lock = threading.Lock()
+
+    def depth_map(self, source):
+        job = {"src": source, "ev": threading.Event(),
+               "dm": None, "err": None}
+        with self._q_lock:
+            self._q.append(job)
+        if not job["ev"].is_set():
+            with self.lock:
+                # A previous leader may have taken our job while we waited
+                # for the lock (it will set our event); otherwise WE lead,
+                # and the batch MUST contain our own job -- draining only
+                # the queue head could serve four peers and strand us
+                # waiting on an event no one remains to set.
+                with self._q_lock:
+                    # identity scan, NOT ``in``: jobs hold SourceImages
+                    # whose dataclass == compares numpy pixel arrays
+                    mine = next((i for i, j in enumerate(self._q)
+                                 if j is job), None)
+                    if mine is not None:
+                        self._q.pop(mine)
+                        peers = self._q[:self.max_batch - 1]
+                        del self._q[:len(peers)]
+                        take = [job] + peers
+                    else:
+                        take = []
+                if take:
+                    try:
+                        dms = self.session.depth_maps(
+                            [j["src"] for j in take], pad_to_pow2=True)
+                        for dm in dms:
+                            dm.data.block_until_ready()
+                        for j, dm in zip(take, dms):
+                            j["dm"] = dm
+                    except Exception as err:
+                        for j in take:
+                            j["err"] = err
+                    finally:
+                        for j in take:
+                            j["ev"].set()
+        job["ev"].wait()
+        if job["err"] is not None:
+            raise job["err"]
+        return job["dm"]
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set by create_server
     session = None
     lock: threading.Lock = None
     inflight: threading.BoundedSemaphore = None
+    batcher: Optional[_MicroBatcher] = None  # --max-batch > 1
     protocol_version = "HTTP/1.1"
+
+    def _forward(self, source, dst=None, image_format=None,
+                 resize_scale=None, amplitude=None, seed=None):
+        """The device section of a request: the model forward (plus the
+        stereogram noise prefetch when rendering one). With micro-batching
+        enabled, concurrent requests coalesce into one batched program; the
+        noise prefetch happens before enqueueing so its transfer rides the
+        link while the (possibly batched) forward computes."""
+        from matrix_eyes_tpu.output.depthmap import maybe_prefetch_stereo_noise
+
+        noise = None
+        if self.batcher is not None:
+            if dst is not None:
+                noise = maybe_prefetch_stereo_noise(
+                    dst, image_format, source.original_size, resize_scale,
+                    amplitude, seed)
+            return self.batcher.depth_map(source), noise
+        with self.lock:
+            # device section only: noise prefetch + the model forward
+            # (the same ordering as api.process -- the noise transfer
+            # rides the link while the forward computes)
+            if dst is not None:
+                noise = maybe_prefetch_stereo_noise(
+                    dst, image_format, source.original_size, resize_scale,
+                    amplitude, seed)
+            dm = self.session.depth_map(source)
+            dm.data.block_until_ready()
+        return dm, noise
 
     # -- plumbing ----------------------------------------------------------
 
@@ -246,7 +347,6 @@ class _Handler(BaseHTTPRequestHandler):
         from matrix_eyes_tpu.output.depthmap import (
             ImageOutputFormat,
             VertexMode,
-            maybe_prefetch_stereo_noise,
         )
 
         fmt = (q.get("format") or ["depthmap"])[-1]
@@ -285,15 +385,8 @@ class _Handler(BaseHTTPRequestHandler):
             dst = os.path.join(d, "out" + ext)
             # decode outside the lock (host work; overlaps other requests)
             source = load_source_image(src, focal)
-            with self.lock:
-                # device section only: noise prefetch + the model forward
-                # (the same ordering as api.process -- the noise transfer
-                # rides the link while the forward computes)
-                noise = maybe_prefetch_stereo_noise(
-                    dst, image_format, source.original_size, resize_scale,
-                    amplitude, seed)
-                dm = self.session.depth_map(source)
-                dm.data.block_until_ready()
+            dm, noise = self._forward(source, dst, image_format,
+                                      resize_scale, amplitude, seed)
             # readback + encode outside the lock (the shift/render
             # programs it dispatches are ~ms of device time; JAX dispatch
             # is thread-safe, so this overlaps the next request's forward)
@@ -328,9 +421,7 @@ class _Handler(BaseHTTPRequestHandler):
             with open(src, "wb") as f:
                 f.write(body)
             source = load_source_image(src, focal)  # decode: no lock
-            with self.lock:
-                dm = self.session.depth_map(source)
-                dm.data.block_until_ready()
+            dm, _noise = self._forward(source)
         inv = dm.to_numpy()  # readback: no lock
         buf = io.BytesIO()
         np.save(buf, inv)
@@ -339,7 +430,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 def create_server(session, host: str = "127.0.0.1",
                   port: int = 8000,
-                  max_inflight: int = 8) -> ThreadingHTTPServer:
+                  max_inflight: int = 8,
+                  max_batch: int = 1) -> ThreadingHTTPServer:
     """A ready-to-run server bound to ``session`` (an api.MatrixEyes).
 
     Separated from main() so tests (and embedders) can run it on an
@@ -348,11 +440,17 @@ def create_server(session, host: str = "127.0.0.1",
 
     ``max_inflight`` bounds concurrent POST work (body held + pipeline
     running); requests beyond it get 503 + Retry-After immediately.
+    ``max_batch`` > 1 coalesces concurrent request forwards into one
+    batched program (see _MicroBatcher); 1 keeps strict one-forward-at-a-
+    time dispatch, whose numerics exactly match the CLI's.
     """
+    lock = threading.Lock()
     handler = type("BoundHandler", (_Handler,), {
         "session": session,
-        "lock": threading.Lock(),
+        "lock": lock,
         "inflight": threading.BoundedSemaphore(max_inflight),
+        "batcher": _MicroBatcher(session, lock, max_batch)
+        if max_batch > 1 else None,
     })
     return ThreadingHTTPServer((host, port), handler)
 
@@ -376,6 +474,9 @@ def main(argv=None) -> int:
     ap.add_argument("--convert-checkpoints", action="store_true")
     ap.add_argument("--max-inflight", type=int, default=8,
                     help="concurrent in-flight POST bound (excess -> 503)")
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help="coalesce up to N concurrent forwards into one "
+                         "batched program (1 = off)")
     args = ap.parse_args(argv)
 
     session = MatrixEyes(
@@ -386,7 +487,8 @@ def main(argv=None) -> int:
         convert_checkpoints=args.convert_checkpoints,
     )
     server = create_server(session, args.host, args.port,
-                           max_inflight=args.max_inflight)
+                           max_inflight=args.max_inflight,
+                           max_batch=args.max_batch)
     host, port = server.server_address[:2]
     print(f"serving depth_pro on http://{host}:{port} "
           f"(/healthz, /v1/process, /v1/depth)", flush=True)

@@ -255,3 +255,187 @@ def test_concurrent_requests_both_succeed(served):
     # the session seed is fixed, so identical inputs => identical bytes:
     # any cross-request state corruption would show up as a divergence
     assert len({b for _, _, b in results}) == 1
+
+
+# --- micro-batching (--max-batch) -------------------------------------------
+
+class _StubDM:
+    """DepthMap stand-in: .data.block_until_ready() and an identity tag."""
+
+    def __init__(self, tag):
+        self.tag = tag
+        self.data = self
+
+    def block_until_ready(self):
+        return self
+
+
+class _StubSession:
+    """Records batch compositions; optionally blocks inside the first call
+    so a test can force followers to queue up behind the leader."""
+
+    def __init__(self, first_call_gate=None):
+        self.calls = []
+        self.first_call_gate = first_call_gate
+
+    def depth_maps(self, sources, pad_to_pow2=False):
+        self.calls.append(list(sources))
+        if self.first_call_gate is not None and len(self.calls) == 1:
+            self.first_call_gate.wait(timeout=10)
+        return [_StubDM(s) for s in sources]
+
+
+def test_microbatcher_coalesces_queued_requests():
+    """While the leader holds the device lock, followers enqueue; the next
+    leader drains them into ONE batched call. Each job gets ITS OWN result
+    (source identity), including the leader's."""
+    from matrix_eyes_tpu.serve import _MicroBatcher
+
+    gate = threading.Event()
+    session = _StubSession(first_call_gate=gate)
+    mb = _MicroBatcher(session, threading.Lock(), max_batch=4)
+
+    results = {}
+    def request(src):
+        results[src] = mb.depth_map(src)
+
+    t0 = threading.Thread(target=request, args=("s0",))
+    t0.start()
+    while not session.calls:  # leader is inside depth_maps, holding the lock
+        if not t0.is_alive():
+            break
+        threading.Event().wait(0.01)
+    followers = [threading.Thread(target=request, args=(f"s{i}",))
+                 for i in range(1, 4)]
+    for t in followers:
+        t.start()
+    # wait until all three are queued behind the lock, then release the leader
+    deadline = 50
+    while len(mb._q) < 3 and deadline:
+        threading.Event().wait(0.02)
+        deadline -= 1
+    gate.set()
+    t0.join(timeout=10)
+    for t in followers:
+        t.join(timeout=10)
+    assert sorted(results) == ["s0", "s1", "s2", "s3"]
+    for src, dm in results.items():
+        assert dm.tag == src, f"{src} got {dm.tag}'s result"
+    # first call was the lone leader; the queued three coalesced afterwards
+    assert [len(c) for c in session.calls] == [1, 3]
+
+
+def test_microbatcher_leader_batch_always_contains_own_job():
+    """More pending jobs than max_batch: every job still completes (a leader
+    that drained only the queue head could strand itself)."""
+    from matrix_eyes_tpu.serve import _MicroBatcher
+
+    gate = threading.Event()
+    session = _StubSession(first_call_gate=gate)
+    mb = _MicroBatcher(session, threading.Lock(), max_batch=2)
+
+    results = {}
+    def request(src):
+        results[src] = mb.depth_map(src)
+
+    threads = [threading.Thread(target=request, args=(f"q{i}",))
+               for i in range(6)]
+    threads[0].start()
+    while not session.calls and threads[0].is_alive():
+        threading.Event().wait(0.01)
+    for t in threads[1:]:
+        t.start()
+    deadline = 50
+    while len(mb._q) < 5 and deadline:
+        threading.Event().wait(0.02)
+        deadline -= 1
+    gate.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 6
+    for src, dm in results.items():
+        assert dm.tag == src
+    assert all(len(c) <= 2 for c in session.calls)
+
+
+def test_microbatcher_error_propagates_to_all_taken_jobs():
+    from matrix_eyes_tpu.serve import _MicroBatcher
+
+    class _Boom:
+        def depth_maps(self, sources, pad_to_pow2=False):
+            raise RuntimeError("device fell over")
+
+    mb = _MicroBatcher(_Boom(), threading.Lock(), max_batch=4)
+    with pytest.raises(RuntimeError, match="device fell over"):
+        mb.depth_map("x")
+    assert mb._q == []  # no stranded jobs
+
+
+@pytest.fixture(scope="module")
+def served_batched(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_mb")
+    tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=21)
+    ckpt = str(d / "tiny.pt")
+    torch.save(tm.state_dict(), ckpt)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    jpeg = io.BytesIO()
+    Image.fromarray(img).save(jpeg, format="JPEG")
+
+    me = MatrixEyes(ckpt)
+    server = create_server(me, port=0, max_batch=4)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, jpeg.getvalue(), me
+    server.shutdown()
+    server.server_close()
+    t.join(timeout=10)
+
+
+def test_batched_serve_concurrent_depth_requests_correct(served_batched):
+    """8 concurrent /v1/depth requests against a --max-batch=4 server: all
+    succeed and every response equals the session's own answer for its
+    image (micro-batching must never cross-wire results)."""
+    base, jpeg, me = served_batched
+    # distinct bodies -> distinct answers, so cross-wiring would be caught
+    rng = np.random.RandomState(3)
+    bodies, want = [], []
+    for i in range(4):
+        arr = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, format="PNG")  # lossless: exact pixels
+        bodies.append(b.getvalue())
+        want.append(me.inverse_depth(arr, focal_length_35mm=35.0))
+
+    results = [None] * 8
+    def go(i):
+        code, _ct, body = _post(base + "/v1/depth?focal-length=35",
+                                bodies[i % 4])
+        results[i] = (code, np.load(io.BytesIO(body)))
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i, r in enumerate(results):
+        assert r is not None, f"request {i} never completed"
+        code, got = r
+        assert code == 200
+        np.testing.assert_allclose(got, want[i % 4], rtol=2e-4, atol=2e-5)
+
+
+def test_batched_serve_process_png_matches_unbatched(served_batched, served):
+    """The same photo through the batched server and the plain server must
+    produce equivalent PNGs (batch-1 arrival on an idle server: identical
+    program up to batch padding)."""
+    base_mb, jpeg, _ = served_batched
+    base, jpeg2, _me = served
+    assert jpeg == jpeg2  # same fixture bytes
+    _c1, _t1, png_mb = _post(base_mb + "/v1/process?focal-length=35", jpeg)
+    _c2, _t2, png = _post(base + "/v1/process?focal-length=35", jpeg)
+    a = np.asarray(Image.open(io.BytesIO(png_mb))).astype(np.int16)
+    b = np.asarray(Image.open(io.BytesIO(png))).astype(np.int16)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 1
