@@ -22,6 +22,8 @@ forward. Selectors: blockmm qkv proj fc1 fc2 attn mlp blockvec embed
 nonvit patchvit imagevit fovvit blocksA-B (stacked-depth row range over
 every ViT). A `w:` probe reports the rounded/kept parameter counts and
 the extra MiB a mixed bf16 mode would spend holding the kept group f32.
+``--precision=default|highest`` (default highest) sets the f32 programs'
+MXU dot precision -- see the inline note; round-3 tables ran DEFAULT.
 
 By default the weights are seeded random at production scale (this
 sandbox's .pt is a random fixture anyway, docs/PARITY_RESULTS.md). With
@@ -59,6 +61,7 @@ def main():
     enable_compilation_cache()
     ckpt = image = None
     cfg_name = "depth_pro"
+    precision = "highest"
     probes_argv = []
     for a in sys.argv[1:]:
         if a.startswith("--checkpoint="):
@@ -67,8 +70,25 @@ def main():
             image = a.split("=", 1)[1]
         elif a.startswith("--config="):
             cfg_name = a.split("=", 1)[1]  # tiny = CPU smoke of the harness
+        elif a.startswith("--precision="):
+            precision = a.split("=", 1)[1]
         else:
             probes_argv.append(a)
+
+    # Matmul precision of the f32 programs (reference, a32, w: probes).
+    # "highest" (default since round 4) = true-f32 MXU dots, so a rounded
+    # weight group's error is ITS quantisation and nothing else -- the same
+    # semantics the shipping --dtype f32 path configures. NOTE the round-3
+    # tables in docs/PARITY_RESULTS.md predate this flag and ran DEFAULT,
+    # where XLA rounds f32 dot inputs to bf16 on the MXU: their reference
+    # already carried bf16 matmul weights, so those rows isolate the
+    # VECTOR-path weight uses (embeddings, norms, biases, LayerScale),
+    # not MXU weight rounding. bf16-input dots ignore this setting, so the
+    # hybrid activation probes are unaffected either way.
+    if precision not in ("default", "highest"):
+        raise SystemExit(f"--precision must be default|highest: {precision}")
+    if precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     t0 = time.time()
     if ckpt:
@@ -127,12 +147,12 @@ def main():
 
     # The f32 reference costs ~10 min of remote compile; cache it on disk
     # across probe invocations (keyed by the weight/image source).
-    if ckpt or image or cfg_name != "depth_pro":
+    if ckpt or image or cfg_name != "depth_pro" or precision != "default":
         import hashlib
 
         tag = hashlib.sha1(
-            f"{ckpt or 'seed7'}|{image or 'rand3'}|{cfg_name}".encode()) \
-            .hexdigest()[:10]
+            f"{ckpt or 'seed7'}|{image or 'rand3'}|{cfg_name}|{precision}"
+            .encode()).hexdigest()[:10]
         ref_path = f"/tmp/bf16_attr_ref_{tag}.npz"
     else:
         ref_path = "/tmp/bf16_attr_ref_s7_i3.npz"
@@ -323,8 +343,10 @@ def main():
                  per-token int8 on the MXU, everything else bf16.
         """
         if probe == "a32":
+            # all weights bf16-rounded, f32 activations -- through the same
+            # compiled program as the w: probes (one forward, no recompile)
             p = jax.tree.map(lambda a: a.astype(jnp.float32), cast16)
-            return run(p, jnp.float32, use_flash=False)
+            return run32(p)
         if probe == "noflash":
             return run(cast16, jnp.bfloat16, use_flash=False)
         if probe == "int8":
