@@ -279,28 +279,54 @@ def main() -> None:
 
     # --- depth-map e2e: the reference's OTHER image format --------------
     # (output.rs:123-139: normalise, viridis, resize to source, save).
-    # Same methodology as the stereogram e2e: whole-plane device bands,
-    # the product save path (png.DEPTH_MAP: fixed Paeth + zlib 6 -- depth
-    # maps are smooth gradients), unique inputs per iteration. Reads back
-    # 3 B/px (no compact generative form exists for photographic-gradient
-    # output; rejection arithmetic in docs/PERFORMANCE.md), so its
-    # readback floor is ~2.2x the compact stereogram's.
-    from matrix_eyes_tpu.output.depthmap import _render_depth_map
+    # Same methodology as the stereogram e2e, through the PRODUCT save
+    # path: the grid-resolution colour image crosses the link (3 B/px at
+    # 1536^2, ~5x less than the source-size plane) and the native host
+    # Lanczos3 resizer upsizes before the striped encode
+    # (output/png.save_depthmap_host_resize; profile Up + level 1 --
+    # policy measurements in output/png.py). Falls back to the device-
+    # resize band path where the native resizer is unavailable.
+    from matrix_eyes_tpu.output.depthmap import _render_depth_map, _render_depth_map_grid
 
     dm_out_path = os.path.join(out_dir, "me_bench_depth.png")
+    dm_host_path = me_png.host_resize_supported() and src_h * src_w > cfg.img_size ** 2
 
-    @jax.jit
-    def device_pipeline_dm_bands(photo_u8, perturb):
-        p = (photo_u8.astype(jnp.int32) + perturb) % 256
-        img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
-        inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
-        data = _clamp_inverse_depth.__wrapped__(inv[0])
-        rgb = _render_depth_map.__wrapped__(data, src_h, src_w)
-        return tuple(rgb[lo:hi] for lo, hi in bounds)
+    if dm_host_path:
+        @jax.jit
+        def device_pipeline_dm(photo_u8, perturb):
+            p = (photo_u8.astype(jnp.int32) + perturb) % 256
+            img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
+            inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
+            data = _clamp_inverse_depth.__wrapped__(inv[0])
+            return _render_depth_map_grid.__wrapped__(data)
 
-    def one_dm_e2e(perturb):
-        me_png.save_device_bands(device_pipeline_dm_bands(photo, perturb),
-                                 dm_out_path, **me_png.DEPTH_MAP)
+        def one_dm_e2e(perturb):
+            me_png.save_depthmap_host_resize(device_pipeline_dm(photo, perturb),
+                                             dm_out_path, src_h, src_w)
+
+        def dm_readback(perturb):
+            grid = device_pipeline_dm(photo, perturb)
+            grid.copy_to_host_async()
+            return [np.asarray(grid)]
+    else:
+        @jax.jit
+        def device_pipeline_dm(photo_u8, perturb):
+            p = (photo_u8.astype(jnp.int32) + perturb) % 256
+            img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
+            inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
+            data = _clamp_inverse_depth.__wrapped__(inv[0])
+            rgb = _render_depth_map.__wrapped__(data, src_h, src_w)
+            return tuple(rgb[lo:hi] for lo, hi in bounds)
+
+        def one_dm_e2e(perturb):
+            me_png.save_device_bands(device_pipeline_dm(photo, perturb),
+                                     dm_out_path, **me_png.DEPTH_MAP)
+
+        def dm_readback(perturb):
+            bands_d = device_pipeline_dm(photo, perturb)
+            for b in bands_d:
+                b.copy_to_host_async()
+            return [np.asarray(b) for b in bands_d]
 
     one_dm_e2e(jnp.int32(0))  # warmup/compile
     dm_attempts = []
@@ -312,10 +338,7 @@ def main() -> None:
         dm_elapsed = (time.perf_counter() - t0) / e2e_iters
         t0 = time.perf_counter()
         for p in perturbs[:2]:
-            bands_d = device_pipeline_dm_bands(photo, p)
-            for b in bands_d:
-                b.copy_to_host_async()
-            dm_host = [np.asarray(b) for b in bands_d]
+            dm_host = dm_readback(p)
         dm_floor = (time.perf_counter() - t0) / 2
         dm_attempts.append({"e2e_png_s": round(dm_elapsed, 4),
                             "readback_floor_s": round(dm_floor, 4),
@@ -326,14 +349,21 @@ def main() -> None:
             time.sleep(60)
     dm_best = min(dm_attempts, key=lambda a: a["e2e_png_s"])
 
-    # pure software cost of the depth-map save: striped Paeth+6 encode
-    # from host-resident planes (window-independent)
+    # pure software cost of the depth-map save (window-independent):
+    # host resize (when active) + striped encode from host-resident planes
     t0 = time.perf_counter()
     for _ in range(reps_dm := 3):
+        if dm_host_path:
+            from matrix_eyes_tpu.native import lanczos as me_lanczos
+
+            full = me_lanczos.resize_rgb8(dm_host[0], src_h, src_w)
+            planes = [full]
+        else:
+            planes = dm_host
         with pngwriter.PngEncoder(dm_out_path, src_w, src_h,
                                   level=me_png.DEPTH_MAP["level"],
                                   filter=me_png.DEPTH_MAP["filter"]) as enc:
-            for b in dm_host:
+            for b in planes:
                 for stripe in me_png._host_stripes(b):
                     enc.write_rows(stripe)
     dm_software = (time.perf_counter() - t0) / reps_dm

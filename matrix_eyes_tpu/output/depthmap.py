@@ -108,15 +108,23 @@ def _clamp_inverse_depth(inverse_depth: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(inverse_depth.astype(jnp.float32), lo, hi)
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w"))
-def _render_depth_map(data: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Normalise (near = bright), colour via the viridis LUT, Lanczos3-resize
-    to the original size (output.rs:123-139)."""
+@partial(jax.jit, static_argnames=())
+def _render_depth_map_grid(data: jnp.ndarray) -> jnp.ndarray:
+    """Normalise (near = bright) and colour via the viridis LUT at GRID
+    resolution -- the image the reference builds before its resize_exact
+    (output.rs:123-133). u8 (H, W, 3)."""
     dmin = jnp.min(data)
     dmax = jnp.max(data)
     denom = dmax - dmin
     value = jnp.where(denom > 0, (dmax - data) / denom, jnp.zeros_like(data))
-    rgb = map_depth(value)  # u8 at grid resolution, rounded like the reference
+    return map_depth(value)  # u8 at grid resolution, rounded like the reference
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _render_depth_map(data: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Normalise (near = bright), colour via the viridis LUT, Lanczos3-resize
+    to the original size (output.rs:123-139)."""
+    rgb = _render_depth_map_grid.__wrapped__(data)
     resized = resize_lanczos3(rgb.astype(jnp.float32), out_h, out_w)
     return to_u8(resized)
 
@@ -147,6 +155,27 @@ class DepthMap:
 
         return np.asarray(aot.call_cached(
             "render_depthmap", render, (self.data,), salt=f"{oh}x{ow}"))
+
+    def render_depth_map_grid(self):
+        """Depth-map colour image at GRID resolution (device array, u8
+        (H, W, 3)) -- the compact transfer form for the host-resize save
+        path (output/png.save_depthmap_host_resize): 3 B/px at grid size
+        instead of source size, ~5x less link traffic for a 12 MP photo."""
+        from matrix_eyes_tpu import aot
+
+        return aot.call_cached(
+            "render_depthmap_grid", _render_depth_map_grid, (self.data,))
+
+    def render_depth_map_host(self) -> np.ndarray:
+        """Full-resolution render via the grid image + the native host
+        Lanczos3 resizer -- the exact arithmetic of the PNG save path when
+        host resize is active. Device-path equivalence: <=1 u8 count on
+        <2e-5 of pixels (tests/test_lanczos_native.py)."""
+        from matrix_eyes_tpu.native import lanczos
+
+        ow, oh = self.original_size
+        return lanczos.resize_rgb8(np.asarray(self.render_depth_map_grid()),
+                                   oh, ow)
 
     def render_depth_map_bands(self):
         """Depth-map render as a tuple of device row bands (one dispatch)
@@ -213,7 +242,17 @@ class DepthMap:
         if dest.endswith(".ply") or dest.endswith(".obj"):
             self._output_mesh(destination_path, source_path, vertex_mode)
         elif image_format == ImageOutputFormat.DEPTH_MAP:
-            if dest.endswith(".png"):
+            ow, oh = self.original_size
+            gh, gw = self.data.shape
+            if (dest.endswith(".png") and oh * ow > gh * gw
+                    and png.host_resize_supported()):
+                # upsizing to the source photo: transfer the grid-resolution
+                # colour image (3 B/px at 1536^2) and Lanczos3-upsize on the
+                # host -- ~5x less device->host traffic than the full plane
+                with timings.span("output: render dispatch"):
+                    grid = self.render_depth_map_grid()
+                png.save_depthmap_host_resize(grid, destination_path, oh, ow)
+            elif dest.endswith(".png"):
                 with timings.span("output: render dispatch"):
                     bands = self.render_depth_map_bands()
                 png.save_device_bands(bands, destination_path,

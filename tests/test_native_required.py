@@ -30,6 +30,17 @@ def test_native_png_encoder_builds():
 
 
 @pytest.mark.skipif(_allowed_off, reason="MATRIX_EYES_ALLOW_NO_NATIVE=1")
+def test_native_lanczos_resizer_builds():
+    from matrix_eyes_tpu.native import lanczos
+
+    assert lanczos.available(), (
+        "native host Lanczos3 resizer failed to build -- the depth-map "
+        "host-resize suite (tests/test_lanczos_native.py) would silently "
+        "fall back; check g++, or set MATRIX_EYES_ALLOW_NO_NATIVE=1 on a "
+        "compiler-less machine")
+
+
+@pytest.mark.skipif(_allowed_off, reason="MATRIX_EYES_ALLOW_NO_NATIVE=1")
 def test_native_mesh_writer_builds():
     from matrix_eyes_tpu.native import meshwriter
 

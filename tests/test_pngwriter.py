@@ -80,7 +80,14 @@ def test_depthmap_banded_png_matches_array_path(tmp_path):
 
     p1 = str(tmp_path / "depth.png")
     dm.output_image(p1, source_path="", image_format=ImageOutputFormat.DEPTH_MAP)
-    np.testing.assert_array_equal(_decode(p1), dm.render_depth_map())
+    # upsizing + native resizer available -> the host-resize path wrote the
+    # file; its pixels are render_depth_map_host's (device-path equivalence
+    # itself is pinned in tests/test_lanczos_native.py)
+    from matrix_eyes_tpu.output import png as _png
+
+    want = (dm.render_depth_map_host() if _png.host_resize_supported()
+            else dm.render_depth_map())
+    np.testing.assert_array_equal(_decode(p1), want)
 
     p2 = str(tmp_path / "stereo.png")
     dm.output_image(p2, source_path="",
