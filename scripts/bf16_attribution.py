@@ -254,7 +254,14 @@ def main():
     _VITS = ("patch_encoder", "image_encoder", "['fov']['encoder']")
 
     def make_selector(sel):
-        """-> (pred(path_str) -> bool, depth_row_range or None)."""
+        """-> (pred(path_str) -> bool, depth_row_range or None).
+        '+' unions plain selectors (e.g. nonvit+embed); not with blocksA-B."""
+        if "+" in sel:
+            parts = [make_selector(p) for p in sel.split("+")]
+            if any(rows is not None for _, rows in parts):
+                raise SystemExit("blocksA-B cannot be unioned")
+            preds = [p for p, _ in parts]
+            return (lambda s: any(p(s) for p in preds)), None
         m = re.fullmatch(r"blocks(\d+)-(\d+)", sel)
         if m:
             lo, hi = int(m.group(1)), int(m.group(2))
@@ -271,6 +278,16 @@ def main():
             return (lambda s: any(n in s for n in names)), None
         if sel == "nonvit":  # decoder, head, fov convs, encoder fuse/upsample
             return (lambda s: not any(v in s for v in _VITS)), None
+        if sel == "decoder":
+            return (lambda s: s.startswith("['decoder']")), None
+        if sel == "head":
+            return (lambda s: s.startswith("['head']")), None
+        if sel == "fovhead":  # the FOV net's convs/linear, not its ViT
+            return (lambda s: s.startswith("['fov']")
+                    and "['fov']['encoder']" not in s), None
+        if sel == "encglue":  # encoder upsamples + lowres fuse (non-ViT)
+            return (lambda s: s.startswith("['encoder']")
+                    and not any(v in s for v in _VITS)), None
         if sel == "patchvit":
             return (lambda s: "patch_encoder" in s), None
         if sel == "imagevit":
