@@ -69,13 +69,23 @@ def main() -> None:
     from matrix_eyes_tpu.config import configure_matmul_precision, parse_dtype_policy
 
     bench_dtype = os.environ.get("BENCH_DTYPE")
-    bd, bquant = parse_dtype_policy(bench_dtype) if bench_dtype else (None, False)
-    runtime = RuntimeConfig(dtype=bd, quantize_int8=bquant)
-    dtype = runtime.resolved_dtype()
-    configure_matmul_precision(dtype)
+    bd, bquant, bmixed = (parse_dtype_policy(bench_dtype) if bench_dtype
+                          else (None, False, False))
+    runtime = RuntimeConfig(dtype=bd, quantize_int8=bquant, mixed_bf16=bmixed)
+    # the dtype the image is preprocessed to (f32 for the mixed policy --
+    # dtype flow is input-driven, see ops/mixed.py)
+    dtype = runtime.image_dtype()
+    configure_matmul_precision(runtime.resolved_dtype(), runtime.mixed_bf16)
     use_flash = runtime.use_flash_attention()
 
-    params = jax.block_until_ready(init_params_fast(cfg, dtype=dtype))
+    if bmixed:
+        from matrix_eyes_tpu.ops.mixed import cast_params_mixed
+
+        params = jax.block_until_ready(
+            cast_params_mixed(init_params_fast(cfg, dtype=jnp.float32)))
+    else:
+        params = jax.block_until_ready(
+            init_params_fast(cfg, dtype=runtime.resolved_dtype()))
     if bquant:
         from matrix_eyes_tpu.ops.quant import quantize_params_device
 

@@ -44,21 +44,24 @@ class MatrixEyes:
         cfg: Optional[ModelConfig] = None,
     ):
         enable_compilation_cache()
-        quantize_int8 = False
+        quantize_int8 = mixed_bf16 = False
         if isinstance(dtype, str):
-            dtype, quantize_int8 = parse_dtype_policy(dtype)
+            dtype, quantize_int8, mixed_bf16 = parse_dtype_policy(dtype)
         self.runtime = RuntimeConfig(dtype=dtype, seed=seed,
                                      flash_attention=flash_attention,
-                                     quantize_int8=quantize_int8)
+                                     quantize_int8=quantize_int8,
+                                     mixed_bf16=mixed_bf16)
         from matrix_eyes_tpu.config import configure_matmul_precision
 
-        configure_matmul_precision(self.runtime.resolved_dtype())
+        configure_matmul_precision(self.runtime.resolved_dtype(),
+                                   self.runtime.mixed_bf16)
         self.cfg, self.params = load_checkpoint(
             checkpoint_path,
             dtype=self.runtime.resolved_dtype(),
             convert_checkpoints=convert_checkpoints,
             cfg=cfg,
             quantize_int8=quantize_int8,
+            mixed_bf16=mixed_bf16,
         )
 
     # -- depth -------------------------------------------------------------
@@ -85,7 +88,7 @@ class MatrixEyes:
         """Run the network; returns the device-resident DepthMap."""
         src = self._load(image, focal_length_35mm)
         img = preprocess_image(jnp.asarray(src.rgb), self.cfg.img_size,
-                               dtype=self.runtime.resolved_dtype())
+                               dtype=self.runtime.image_dtype())
         use_flash = self.runtime.use_flash_attention()
         f_norm = src.f_norm()
         if f_norm is not None:
@@ -134,7 +137,7 @@ class MatrixEyes:
                 raise ValueError(
                     f"{len(images)} images but {len(focals)} focal lengths")
         srcs = [self._load(im, f) for im, f in zip(images, focals)]
-        dt = self.runtime.resolved_dtype()
+        dt = self.runtime.image_dtype()
         img = jnp.concatenate(
             [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size, dtype=dt)
              for s in srcs])
@@ -187,7 +190,7 @@ class MatrixEyes:
         """
         if not sources:
             return []
-        dt = self.runtime.resolved_dtype()
+        dt = self.runtime.image_dtype()
         imgs = [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size,
                                  dtype=dt) for s in sources]
         n = len(imgs)

@@ -38,7 +38,7 @@ Options:
       --stereo-amplitude=<AMPLITUDE>      Custom scale for stereogram output [default: 0.0625]
       --mesh=<MESH>                       Mesh options [default: vertex-colors] [possible values: plain, vertex-colors, texture-coordinates]
       --convert-checkpoints               Convert checkpoints into a more efficient format [default: disabled]
-      --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16, int8]
+      --dtype=<DTYPE>                     Compute/parameter dtype [default: bf16 on TPU, f32 elsewhere] [possible values: f32, bf16, f16, int8, mixed]
       --seed=<SEED>                       Stereogram noise seed [default: 0]
       --devices=<N | DATAxMODEL>          Run sharded over a device mesh, e.g. 8 or 4x2 [default: single device]
       --batch-size=<N>                    Images per forward in directory mode [default: 1]
@@ -184,12 +184,14 @@ def run(args: Args, progress=None) -> None:
     from matrix_eyes_tpu.pipeline import extract_depth
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
-    dtype, quantize_int8 = parse_dtype_policy(args.dtype) if args.dtype else (None, False)
+    dtype, quantize_int8, mixed_bf16 = (
+        parse_dtype_policy(args.dtype) if args.dtype else (None, False, False))
     runtime = RuntimeConfig(
         dtype=dtype,
         seed=args.seed,
         flash_attention=args.flash_attention,
         quantize_int8=quantize_int8,
+        mixed_bf16=mixed_bf16,
     )
 
     import os
@@ -285,6 +287,7 @@ def run(args: Args, progress=None) -> None:
         parts=parts,
         progress=progress,
         quantize_int8=runtime.quantize_int8,
+        mixed_bf16=runtime.mixed_bf16,
     )
     if mesh is not None:
         from matrix_eyes_tpu import timings

@@ -148,8 +148,9 @@ def default_compute_dtype() -> jnp.dtype:
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
-def configure_matmul_precision(dtype) -> None:
-    """Make ``--dtype f32`` actually mean f32 on TPU.
+def configure_matmul_precision(dtype, mixed_bf16: bool = False) -> None:
+    """Make ``--dtype f32`` (and the f32 stages of ``--dtype mixed``)
+    actually mean f32 on TPU.
 
     XLA's DEFAULT precision computes an f32 dot on the MXU by rounding
     both inputs to bf16 (one pass) -- exactly the weight/matmul-input
@@ -157,12 +158,15 @@ def configure_matmul_precision(dtype) -> None:
     canonical error; docs/PARITY_RESULTS.md). The documented
     reference-grade path must instead use the multi-pass bf16
     decomposition (precision HIGHEST, true-f32 results). Half-precision
-    runs keep DEFAULT: their matmul inputs are already bf16/f16.
+    runs keep DEFAULT: their matmul inputs are already bf16/f16. The
+    mixed mode needs HIGHEST too -- its non-ViT stages run f32, and
+    bf16-input dots (the ViT matmuls) ignore the setting either way.
 
     Applied process-globally at pipeline/session entry (the AOT cache
     keys on the setting, so cached executables never cross regimes).
     """
-    if jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu":
+    if (mixed_bf16 or jnp.dtype(dtype) == jnp.float32) \
+            and jax.default_backend() == "tpu":
         jax.config.update("jax_default_matmul_precision", "highest")
 
 
@@ -182,20 +186,26 @@ def parse_dtype(name: str) -> jnp.dtype:
     except KeyError:
         raise ValueError(
             f"Unsupported dtype {name!r}; expected one of "
-            f"{sorted(_DTYPE_NAMES) + ['int8']}")
+            f"{sorted(_DTYPE_NAMES) + ['int8', 'mixed']}")
 
 
 def parse_dtype_policy(name: str):
-    """CLI dtype flag -> (compute dtype or None, quantize_int8).
+    """CLI dtype flag -> (compute dtype or None, quantize_int8, mixed_bf16).
 
-    ``int8`` is a quantization policy, not a compute dtype: activations,
-    norms and convolutions run in bf16 (the policy requires a TPU-style
-    half compute dtype) while the ViT block matmul weights are int8 on the
-    MXU (see ops/quant.py). Everything else maps through parse_dtype.
+    ``int8`` and ``mixed`` are weight-precision policies, not compute
+    dtypes: the ViT runs bf16 either way. ``int8`` additionally quantizes
+    the block matmul weights to int8 on the MXU (ops/quant.py); ``mixed``
+    keeps ONLY those matmul weights bf16 and everything else (decoder,
+    head, FOV, embeddings, norms) f32 with true-f32 arithmetic -- the
+    round-4 weight-group attribution bounds its weight-side p99 at 0.16 %
+    vs all-bf16's 16.4 % for +88 MiB (ops/mixed.py). Everything else maps
+    through parse_dtype.
     """
     if name.lower() == "int8":
-        return jnp.bfloat16, True
-    return parse_dtype(name), False
+        return jnp.bfloat16, True, False
+    if name.lower() == "mixed":
+        return jnp.bfloat16, False, True
+    return parse_dtype(name), False, False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,12 +221,16 @@ class RuntimeConfig:
         weights quantized per-output-channel to int8, activations per-token
         dynamic, int8 x int8 -> int32 on the MXU (ops/quant.py). Requires a
         half compute dtype (bf16).
+    mixed_bf16: opt-in mixed weight precision (``--dtype mixed``): ViT
+        block matmul weights bf16, everything else f32 with true-f32
+        arithmetic (ops/mixed.py). The ViT compute dtype stays bf16.
     """
 
     dtype: Optional[jnp.dtype] = None
     seed: int = 0
     flash_attention: Optional[bool] = None  # None = auto (TPU only)
     quantize_int8: bool = False
+    mixed_bf16: bool = False
 
     def __post_init__(self):
         if self.quantize_int8 and self.dtype is not None \
@@ -224,11 +238,31 @@ class RuntimeConfig:
             raise ValueError(
                 "quantize_int8 requires the bf16 compute dtype "
                 f"(got {jnp.dtype(self.dtype).name})")
+        if self.mixed_bf16:
+            if self.quantize_int8:
+                raise ValueError(
+                    "mixed_bf16 and quantize_int8 are mutually exclusive "
+                    "weight-precision policies")
+            if self.dtype is not None \
+                    and jnp.dtype(self.dtype) != jnp.bfloat16:
+                raise ValueError(
+                    "mixed_bf16 requires the bf16 compute dtype "
+                    f"(got {jnp.dtype(self.dtype).name})")
 
     def resolved_dtype(self) -> jnp.dtype:
-        if self.quantize_int8:
+        if self.quantize_int8 or self.mixed_bf16:
             return jnp.bfloat16
         return self.dtype if self.dtype is not None else default_compute_dtype()
+
+    def image_dtype(self) -> jnp.dtype:
+        """Dtype the source image is preprocessed to. Mixed mode feeds the
+        model an f32 image: dtype flow is input-driven (every nn primitive
+        returns its input's dtype), so the f32 image is what keeps the
+        patch embed, the token carry and the non-ViT stages f32 while
+        block_forward casts matmul inputs down to the weights' bf16."""
+        if self.mixed_bf16:
+            return jnp.float32
+        return self.resolved_dtype()
 
     def use_flash_attention(self) -> bool:
         if self.flash_attention is not None:

@@ -92,8 +92,8 @@ def extract_depth_batch(
             return err
         return ReconstructionError(f"{msg}: {err}")
 
-    rt_dtype = runtime.resolved_dtype()
-    configure_matmul_precision(rt_dtype)
+    rt_dtype = runtime.image_dtype()
+    configure_matmul_precision(rt_dtype, runtime.mixed_bf16)
     use_flash = runtime.use_flash_attention()
 
     jobs = list(jobs)
@@ -278,8 +278,8 @@ def extract_depth(
         from matrix_eyes_tpu import aot
         from matrix_eyes_tpu.config import configure_matmul_precision
 
-        rt_dtype = runtime.resolved_dtype()
-        configure_matmul_precision(rt_dtype)
+        rt_dtype = runtime.image_dtype()
+        configure_matmul_precision(rt_dtype, runtime.mixed_bf16)
 
         def pre(rgb):
             return preprocess_image.__wrapped__(rgb, cfg.img_size, rt_dtype)

@@ -66,6 +66,16 @@ def _cache_path(checkpoint_path: str, part: str) -> str:
     return f"{_stem(checkpoint_path)}-{part}.npz"
 
 
+def _mixed_cache_path(checkpoint_path: str, part: str) -> str:
+    """npz cache for the mixed layout (ops/mixed.py), leaves stored at
+    their EXACT dtypes (cache_dtype=None): bf16 block matmuls, f32 rest.
+    Separate from the f16-convention float caches because the mixed
+    layout's point is keeping the protected groups at the checkpoint's
+    own f32 -- an f16 round trip would fold ~1/8 of the bf16 rounding it
+    exists to remove back in."""
+    return f"{_stem(checkpoint_path)}-{part}.mixed.npz"
+
+
 def _config_cache_path(checkpoint_path: str) -> str:
     return f"{_stem(checkpoint_path)}-config.json"
 
@@ -544,7 +554,7 @@ def _purge_caches(checkpoint_path: str) -> None:
     for part in PARTS:
         for path in (f"{stem}-{part}.npz", f"{stem}-{part}.packed.npy",
                      f"{stem}-{part}.packed.json", f"{stem}-{part}.packed8.npy",
-                     f"{stem}-{part}.packed8.json"):
+                     f"{stem}-{part}.packed8.json", f"{stem}-{part}.mixed.npz"):
             try:
                 os.remove(path)
             except OSError:
@@ -585,6 +595,7 @@ def load_checkpoint(
     cfg: Optional[ModelConfig] = None,
     use_caches: bool = True,
     quantize_int8: bool = False,
+    mixed_bf16: bool = False,
 ) -> Tuple[ModelConfig, Dict[str, Any]]:
     """Load (and possibly cache-convert) model parameters.
 
@@ -604,11 +615,26 @@ def load_checkpoint(
     device upload is the int8 blob (~half the f16 bytes); with
     ``convert_checkpoints`` the quantized layout is cached as
     ``<stem>-<part>.packed8.*`` and warm runs mmap + upload it directly.
+
+    ``mixed_bf16=True`` returns the mixed weight-precision layout
+    (ops/mixed.py): ViT block matmul weights bf16, everything else at the
+    checkpoint's own f32. The mixed layout is derived ONLY from the .pt
+    (never from the f16-convention float caches, whose rounding it exists
+    to avoid) and cached exactly as ``<stem>-<part>.mixed.npz`` when
+    ``convert_checkpoints`` is set.
     """
     if quantize_int8 and jnp.dtype(dtype) != jnp.bfloat16:
         raise LoaderError(
             f"quantize_int8 requires the bf16 compute dtype, got "
             f"{jnp.dtype(dtype).name}")
+    if mixed_bf16:
+        if quantize_int8:
+            raise LoaderError(
+                "mixed_bf16 and quantize_int8 are mutually exclusive")
+        if jnp.dtype(dtype) != jnp.bfloat16:
+            raise LoaderError(
+                f"mixed_bf16 requires the bf16 compute dtype, got "
+                f"{jnp.dtype(dtype).name}")
     flat: Optional[Dict[str, np.ndarray]] = None
     if not use_caches:
         stale, convert_checkpoints = True, False
@@ -651,6 +677,21 @@ def load_checkpoint(
         ppath, pmanifest = _packed_paths(checkpoint_path, part)
         if stale:
             uncached.append(part)
+            continue
+        if mixed_bf16:
+            mpath = _mixed_cache_path(checkpoint_path, part)
+            if os.path.exists(mpath):
+                if progress is not None:
+                    progress.update_message(f"loading mixed {part}")
+                with timings.span(f"weights {part} -> device (mixed)"):
+                    out[part] = _place_part(
+                        _read_part_cache_np(mpath, spec[part]), dtype,
+                        exact_dtypes=(ml_dtypes.bfloat16, np.float32))
+            else:
+                # never derive the mixed layout from the f16-convention
+                # float caches: the protected groups must carry the
+                # checkpoint's own f32 values (see _mixed_cache_path)
+                uncached.append(part)
             continue
         if quantize_int8:
             p8npy, p8man = _packed8_paths(checkpoint_path, part)
@@ -745,6 +786,23 @@ def load_checkpoint(
                         save_part_cache(_cache_path(checkpoint_path, part), hp),
                         save_packed_cache(checkpoint_path, part, hp)),
                     f"weight caches for '{part}'")
+            if mixed_bf16:
+                from matrix_eyes_tpu.ops.mixed import cast_params_mixed
+
+                with timings.span(f"mixed cast {part} (host)"):
+                    mhost = cast_params_mixed(host_part)
+                del host_part
+                if convert_checkpoints:
+                    _save_cache_nonfatal(
+                        lambda part=part, mhost=mhost: save_part_cache(
+                            _mixed_cache_path(checkpoint_path, part), mhost,
+                            cache_dtype=None),
+                        f"mixed cache for '{part}'")
+                with timings.span(f"weights {part} -> device (mixed)"):
+                    out[part] = _place_part(
+                        mhost, dtype,
+                        exact_dtypes=(ml_dtypes.bfloat16, np.float32))
+                continue
             if quantize_int8:
                 with timings.span(f"quantize {part} (host)"):
                     qhost = quantize_params(_f16_convention(host_part))

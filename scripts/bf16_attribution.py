@@ -358,7 +358,16 @@ def main():
         int8     the opt-in --dtype int8 layout (ops/quant.py): ViT block
                  weights int8 per-channel, qkv/proj/fc1 activations
                  per-token int8 on the MXU, everything else bf16.
+        mixed    the opt-in --dtype mixed layout (ops/mixed.py): ViT block
+                 matmul weights bf16 + flash kernel, f32 image so every
+                 other stage runs f32 (input-driven dtype flow) -- the
+                 REAL shipping config, activations included.
         """
+        if probe == "mixed":
+            from matrix_eyes_tpu.ops.mixed import cast_params_mixed
+
+            return run(cast_params_mixed(params32), jnp.float32,
+                       use_flash=jax.default_backend() == "tpu")
         if probe == "a32":
             # all weights bf16-rounded, f32 activations -- through the same
             # compiled program as the w: probes (one forward, no recompile)

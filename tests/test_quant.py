@@ -112,8 +112,8 @@ def test_runtime_config_rejects_non_bf16_quant():
 def test_parse_dtype_policy():
     from matrix_eyes_tpu.config import parse_dtype_policy
 
-    assert parse_dtype_policy("int8") == (jnp.bfloat16, True)
-    assert parse_dtype_policy("bf16") == (jnp.bfloat16, False)
+    assert parse_dtype_policy("int8") == (jnp.bfloat16, True, False)
+    assert parse_dtype_policy("bf16") == (jnp.bfloat16, False, False)
     with pytest.raises(ValueError):
         parse_dtype_policy("int4")
 
