@@ -81,6 +81,15 @@ def _conv3x3_kernel(x0_ref, x1_ref, w_ref, b_ref, *refs, rows: int,
             sh.reshape(r * W, cin), w_ref[u, v],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # Half inputs pin DEFAULT: in-kernel dots inherit the GLOBAL
+            # matmul precision at trace time, and Mosaic rejects bf16
+            # inputs under HIGHEST ("Bad lhs type") -- which is what the
+            # f32/mixed modes set process-wide (a bf16 dot has nothing to
+            # gain from multi-pass decomposition anyway). f32 inputs keep
+            # the inherited precision: the admitted small f32 shapes must
+            # stay true-f32 under those modes (measured compiling fine).
+            precision=(jax.lax.Precision.DEFAULT
+                       if sh.dtype != jnp.float32 else None),
         )
         lo = out_row0 * W
         acc_ref[lo:lo + r * W] = acc_ref[lo:lo + r * W] + part

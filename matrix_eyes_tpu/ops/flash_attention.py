@@ -55,6 +55,11 @@ def _qk_log2(q, k, scale: float, n_valid: int, ones):
         qs, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Half inputs pin DEFAULT: Mosaic rejects bf16 dot inputs when the
+        # global matmul precision is HIGHEST (set by the f32/mixed modes);
+        # f32 inputs keep the inherited precision (see ops/conv3x3.py)
+        precision=(jax.lax.Precision.DEFAULT
+                   if qs.dtype != jnp.float32 else None),
     )  # (N_pad, N_pad), log2-domain scores, padded cols at -1e30
 
 
@@ -71,6 +76,8 @@ def _softmax_pv(s, v, ones):
         p, jnp.concatenate([v, ones], axis=1),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT
+                   if p.dtype != jnp.float32 else None),  # see _scores
     )  # (N_pad, D + 1): P@V alongside the row sums
     return ov[:, :d] / ov[:, d:d + 1]
 
