@@ -267,11 +267,16 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/healthz":
             import numpy as np
 
+            rt = self.session.runtime
             self._reply_json(200, {
                 "status": "ok",
                 "model": "depth_pro",
                 "img_size": self.session.cfg.img_size,
-                "dtype": str(np.dtype(self.session.runtime.resolved_dtype())),
+                "dtype": str(np.dtype(rt.resolved_dtype())),
+                # weight-precision policy on top of the compute dtype
+                # (ops/quant.py int8, ops/mixed.py mixed)
+                "weight_policy": ("int8" if rt.quantize_int8
+                                  else "mixed" if rt.mixed_bf16 else "plain"),
             })
             return
         if path == "/":
