@@ -83,6 +83,47 @@ class MatrixEyes:
         return SourceImage(rgb=rgb, original_size=(rgb.shape[1], rgb.shape[0]),
                            focal_length_35mm=focal_length_35mm)
 
+    def _params_for_mesh(self, mesh):
+        """Session params, sharded over ``mesh`` (cached per mesh -- the
+        shard layout, incl. the TP qkv permutation, is mesh-shape-specific
+        and costs a device relayout to build)."""
+        if mesh is None:
+            return self.params
+        from matrix_eyes_tpu.parallel.sharding import shard_params
+
+        cached = getattr(self, "_sharded_params", {})
+        params = cached.get(mesh)
+        if params is None:
+            params = shard_params(self.params, mesh,
+                                  num_heads=self.cfg.num_heads)
+            cached[mesh] = params
+            self._sharded_params = cached
+        return params
+
+    def _preprocess_stack(self, srcs: "list") -> jnp.ndarray:
+        """Stack per-source device preprocessing into one (B,3,S,S) batch."""
+        dt = self.runtime.image_dtype()
+        return jnp.concatenate(
+            [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size, dtype=dt)
+             for s in srcs])
+
+    def _batch_forward(self, params, img, f_norms):
+        """ONE forward over an image stack: the fnorm program when every
+        focal is known, else the mixed-fnorm program (FOV head fills the
+        gaps, known focals override its estimate). Returns (B,S,S)
+        device-resident inverse depth."""
+        use_flash = self.runtime.use_flash_attention()
+        if all(f is not None for f in f_norms):
+            return depth_pro.forward_with_fnorm(
+                self.cfg, params, img,
+                jnp.asarray(f_norms, jnp.float32), use_flash)
+        f_arr = jnp.asarray([f if f is not None else 1.0
+                             for f in f_norms], jnp.float32)
+        has_f = jnp.asarray([f is not None for f in f_norms])
+        inv, _ = depth_pro.forward_with_mixed_fnorm(
+            self.cfg, params, img, f_arr, has_f, use_flash)
+        return inv
+
     def depth_map(self, image: Union[str, np.ndarray, SourceImage],
                   focal_length_35mm: Optional[float] = None) -> DepthMap:
         """Run the network; returns the device-resident DepthMap."""
@@ -137,45 +178,23 @@ class MatrixEyes:
                 raise ValueError(
                     f"{len(images)} images but {len(focals)} focal lengths")
         srcs = [self._load(im, f) for im, f in zip(images, focals)]
-        dt = self.runtime.image_dtype()
-        img = jnp.concatenate(
-            [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size, dtype=dt)
-             for s in srcs])
+        img = self._preprocess_stack(srcs)
         f_norms = [s.f_norm() for s in srcs]
-        use_flash = self.runtime.use_flash_attention()
 
-        params = self.params
-        ctx = None
+        import contextlib
+
+        params = self._params_for_mesh(mesh)
+        ctx = contextlib.nullcontext()
         if mesh is not None:
             from matrix_eyes_tpu.parallel.sharding import (
                 patch_sharded,
                 shard_batch,
-                shard_params,
             )
 
-            cached = getattr(self, "_sharded_params", {})
-            params = cached.get(mesh)
-            if params is None:
-                params = shard_params(self.params, mesh,
-                                      num_heads=self.cfg.num_heads)
-                cached[mesh] = params
-                self._sharded_params = cached
             img = shard_batch(img, mesh)
             ctx = patch_sharded(mesh)
-
-        import contextlib
-
-        with ctx if ctx is not None else contextlib.nullcontext():
-            if all(f is not None for f in f_norms):
-                inv = depth_pro.forward_with_fnorm(
-                    self.cfg, params, img,
-                    jnp.asarray(f_norms, jnp.float32), use_flash)
-            else:
-                f_arr = jnp.asarray([f if f is not None else 1.0
-                                     for f in f_norms], jnp.float32)
-                has_f = jnp.asarray([f is not None for f in f_norms])
-                inv, _ = depth_pro.forward_with_mixed_fnorm(
-                    self.cfg, params, img, f_arr, has_f, use_flash)
+        with ctx:
+            inv = self._batch_forward(params, img, f_norms)
         return np.asarray(inv, np.float32)
 
     def depth_maps(self, sources: "list",
@@ -190,27 +209,16 @@ class MatrixEyes:
         """
         if not sources:
             return []
-        dt = self.runtime.image_dtype()
-        imgs = [preprocess_image(jnp.asarray(s.rgb), self.cfg.img_size,
-                                 dtype=dt) for s in sources]
-        n = len(imgs)
-        if pad_to_pow2:
-            target = 1 << (n - 1).bit_length()
-            imgs = imgs + [imgs[-1]] * (target - n)
-        img = jnp.concatenate(imgs)
+        n = len(sources)
+        pad = (1 << (n - 1).bit_length()) - n if pad_to_pow2 else 0
+        img = self._preprocess_stack(sources)
+        if pad:
+            # repeat the PREPROCESSED last image; re-running its Lanczos
+            # resize per pad slot would waste device time
+            img = jnp.concatenate([img] + [img[-1:]] * pad)
         f_norms = [s.f_norm() for s in sources]
-        f_norms = f_norms + [f_norms[-1]] * (len(imgs) - n)
-        use_flash = self.runtime.use_flash_attention()
-        if all(f is not None for f in f_norms):
-            inv = depth_pro.forward_with_fnorm(
-                self.cfg, self.params, img,
-                jnp.asarray(f_norms, jnp.float32), use_flash)
-        else:
-            f_arr = jnp.asarray([f if f is not None else 1.0
-                                 for f in f_norms], jnp.float32)
-            has_f = jnp.asarray([f is not None for f in f_norms])
-            inv, _ = depth_pro.forward_with_mixed_fnorm(
-                self.cfg, self.params, img, f_arr, has_f, use_flash)
+        f_norms = f_norms + [f_norms[-1]] * pad
+        inv = self._batch_forward(self.params, img, f_norms)
         return [DepthMap.new(inv[i], s.original_size)
                 for i, s in enumerate(sources)]
 
@@ -270,18 +278,7 @@ class MatrixEyes:
         """
         from matrix_eyes_tpu.pipeline import extract_depth_batch
 
-        params = self.params
-        if mesh is not None:
-            # same per-mesh sharded-params cache as inverse_depth_batch
-            from matrix_eyes_tpu.parallel.sharding import shard_params
-
-            cached = getattr(self, "_sharded_params", {})
-            params = cached.get(mesh)
-            if params is None:
-                params = shard_params(self.params, mesh,
-                                      num_heads=self.cfg.num_heads)
-                cached[mesh] = params
-                self._sharded_params = cached
+        params = self._params_for_mesh(mesh)
         extract_depth_batch(
             self.cfg,
             params,

@@ -278,7 +278,7 @@ def run(args: Args, progress=None) -> None:
         "preprocess", fwd_name,
         "stereogram_noise", "stereogram_shift", "stereogram_bands",
         "stereogram",
-        "render_depthmap_bands", "render_depthmap",
+        "render_depthmap_bands", "render_depthmap_grid", "render_depthmap",
     ))
     cfg, params = load_checkpoint(
         args.checkpoint_path,

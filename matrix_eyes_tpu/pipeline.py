@@ -147,7 +147,9 @@ def extract_depth_batch(
                     if mesh is not None:
                         img = shard_batch(img, mesh)
             except Exception as err:
-                raise stage_error("Failed to load source image", err) from err
+                # device-side preprocessing/assembly, not file decode: blame
+                # the right stage (decode failures are caught above, per file)
+                raise stage_error("Failed to process image", err) from err
 
             # kick off the NEXT chunk's decodes before this chunk's device
             # work so they overlap it

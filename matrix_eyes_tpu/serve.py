@@ -98,9 +98,12 @@ def _one_float(q: dict, name: str, positive: bool = False) -> Optional[float]:
     return v
 
 
-def _sniff_image_ext(path: str) -> str:
+def _sniff_image_ext(path: str) -> Optional[str]:
     """Extension for the decoded body's actual encoding (PIL reads the
-    header only); OBJ viewers resolve map_Kd textures by extension."""
+    header only); OBJ viewers resolve map_Kd textures by extension.
+    Returns None for encodings outside the set viewers commonly load
+    (GIF/PPM/... decode fine as a SOURCE but make a useless map_Kd
+    target) -- the caller transcodes those to PNG."""
     from PIL import Image
 
     try:
@@ -109,7 +112,7 @@ def _sniff_image_ext(path: str) -> str:
     except Exception:
         fmt = ""
     return {"jpeg": ".jpg", "png": ".png", "bmp": ".bmp",
-            "tiff": ".tif", "webp": ".webp"}.get(fmt, ".img")
+            "tiff": ".tif", "webp": ".webp"}.get(fmt)
 
 
 def _zip_files(directory: str, names) -> bytes:
@@ -191,7 +194,17 @@ class _MicroBatcher:
                             j["ev"].set()
         job["ev"].wait()
         if job["err"] is not None:
-            raise job["err"]
+            # every job in a failed batch shares ONE exception instance;
+            # `raise err` reassigns err.__traceback__, so concurrent handler
+            # threads raising it directly would garble each other's printed
+            # tracebacks. Re-raise a per-thread clone chained to the original
+            # (same type, so the 400/500 status mapping is preserved).
+            err = job["err"]
+            try:
+                clone = type(err)(*err.args)
+            except Exception:
+                clone = RuntimeError(f"{type(err).__name__}: {err}")
+            raise clone from err
         return job["dm"]
 
 
@@ -240,6 +253,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # we are about to drop the connection (oversized body, raw
+            # failure): say so, or an HTTP/1.1 client may legally pipeline
+            # its next request into a socket we already closed
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -299,6 +317,7 @@ class _Handler(BaseHTTPRequestHandler):
             body = b'{"error": "server at capacity"}\n'
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
             return
@@ -398,10 +417,20 @@ class _Handler(BaseHTTPRequestHandler):
             if texture_zip:
                 # the .mtl's map_Kd must be a RELATIVE name that exists
                 # inside the zip; the texture is the request body itself,
-                # named by its sniffed encoding
-                tex_name = "texture" + _sniff_image_ext(src)
-                tex_path = os.path.join(d, tex_name)
-                os.replace(src, tex_path)
+                # named by its sniffed encoding -- except encodings OBJ
+                # viewers can't load (GIF/PPM/...), which get transcoded
+                # to PNG so the delivered archive is always self-contained
+                tex_ext = _sniff_image_ext(src)
+                if tex_ext is None:
+                    from PIL import Image
+
+                    tex_name = "texture.png"
+                    with Image.open(src) as im:
+                        im.convert("RGB").save(
+                            os.path.join(d, tex_name), "PNG")
+                else:
+                    tex_name = "texture" + tex_ext
+                    os.replace(src, os.path.join(d, tex_name))
                 dm.output_image(dst, tex_name, image_format=image_format,
                                 vertex_mode=VertexMode(vertex_mode),
                                 resize_scale=resize_scale,

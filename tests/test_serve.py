@@ -187,6 +187,27 @@ def test_texture_mode_served_as_zip(served, tmp_path):
     assert zf.read("out.obj") == (tmp_path / "out.obj").read_bytes()
 
 
+def test_texture_mode_transcodes_exotic_encodings(served):
+    """A GIF body decodes fine as a SOURCE but is useless as an OBJ map_Kd
+    target; the served zip must carry a transcoded texture.png, never an
+    unresolvable extension."""
+    import zipfile
+
+    base, jpeg, _ = served
+    gif = io.BytesIO()
+    with Image.open(io.BytesIO(jpeg)) as im:
+        im.save(gif, format="GIF")
+    code, ctype, body = _post(
+        base + "/v1/process?format=obj&focal-length=35"
+               "&vertex-mode=texture-coordinates", gif.getvalue())
+    assert code == 200 and ctype == "application/zip"
+    zf = zipfile.ZipFile(io.BytesIO(body))
+    assert set(zf.namelist()) == {"out.obj", "out.mtl", "texture.png"}
+    assert "map_Kd texture.png" in zf.read("out.mtl").decode()
+    with Image.open(io.BytesIO(zf.read("texture.png"))) as tex:
+        assert tex.format == "PNG"
+
+
 def test_ply_texture_mode_stays_single_response(served):
     # PLY has no sidecar in any vertex mode: texture-coordinates must not
     # be rejected, and the response stays one binary PLY
@@ -226,6 +247,9 @@ def test_overload_returns_503(served):
                 _post(b2 + "/v1/depth?focal-length=35", jpeg)
             assert ei.value.code == 503
             assert ei.value.headers.get("Retry-After")
+            # the server drops the connection after a 503: it must SAY so,
+            # or an HTTP/1.1 client may pipeline into a dead socket
+            assert ei.value.headers.get("Connection") == "close"
             release.set()
             code, _, _ = fut.result(timeout=30)
             assert code == 200
