@@ -73,7 +73,19 @@ def extract_depth_batch(
 
     Chunks are padded to ``batch_size`` by repeating the last image so
     every chunk replays the SAME compiled executable (static shapes: one
-    AOT entry per batch size, not one per remainder)."""
+    AOT entry per batch size, not one per remainder).
+
+    Output writing is pipelined one chunk behind the forward: chunk k's
+    files (device->host readback + PNG/mesh encode -- the host-bound tail)
+    are written AFTER chunk k+1's forward has been dispatched, so the host
+    work rides the device compute instead of serialising with it. JAX
+    dispatch is async, the render programs for chunk k are enqueued before
+    the forward of chunk k+1 touches the queue inside output_image's own
+    dispatch spans, and nothing here reorders files on disk -- outputs stay
+    byte-identical to the unpipelined loop (tests/test_cli.py
+    test_batch_size_byte_identical). On an error in chunk k+1 the finished
+    chunk k is flushed first, preserving the sequential loop's error
+    order."""
     runtime = runtime or RuntimeConfig()
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -118,11 +130,52 @@ def extract_depth_batch(
     pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="me-decode") \
         if len(chunks) > 1 else None
     next_futs = None
+
+    # Progress windows are allocated in EXECUTION order (model c0, model c1,
+    # out c0, model c2, out c1, ...) from a running cursor so the console
+    # bar stays monotone under the one-chunk-behind output pipeline.
+    model_w = 0.9 / len(chunks)
+    out_w = 0.1 / len(chunks)
+    cursor = 0.0
+
+    def take(width: float) -> SplitProgressListener:
+        nonlocal cursor
+        lo = cursor
+        cursor = min(1.0, cursor + width)
+        return SplitProgressListener(progress, lo, cursor)
+
+    # (chunk, srcs, inv, noises) of the forward-complete-but-unwritten chunk
+    pending = None
+
+    def flush_pending() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        p_chunk, p_srcs, p_inv, p_noises = pending
+        pending = None
+        pl_out = take(out_w)
+        pl_out.update_message("writing output")
+        for i, ((src_path, out_path), s) in enumerate(zip(p_chunk, p_srcs)):
+            try:
+                with timings.span("write output"):
+                    DepthMap.new(p_inv[i], s.original_size).output_image(
+                        out_path,
+                        src_path,
+                        image_format=image_format,
+                        vertex_mode=vertex_mode,
+                        resize_scale=resize_scale,
+                        amplitude=stereo_amplitude,
+                        seed=runtime.seed,
+                        stereo_noise=p_noises[i],
+                    )
+            except Exception as err:
+                raise stage_error(
+                    f"Failed to output result {out_path}", err) from err
+        pl_out.report_status(1.0)
+
     try:
         for ci, chunk in enumerate(chunks):
-            pl_chunk = SplitProgressListener(
-                progress, ci / len(chunks), (ci + 1) / len(chunks))
-            pl_model, pl_out = pl_chunk.split_range(0.9)
+            pl_model = take(model_w)
             futs, next_futs = next_futs, None
             pl_model.update_message("loading source images")
             srcs = []
@@ -206,24 +259,17 @@ def extract_depth_batch(
                 raise stage_error("Failed to process image", err) from err
             pl_model.report_status(1.0)
 
-            pl_out.update_message("writing output")
-            for i, ((src_path, out_path), s) in enumerate(zip(chunk, srcs)):
-                try:
-                    with timings.span("write output"):
-                        DepthMap.new(inv[i], s.original_size).output_image(
-                            out_path,
-                            src_path,
-                            image_format=image_format,
-                            vertex_mode=vertex_mode,
-                            resize_scale=resize_scale,
-                            amplitude=stereo_amplitude,
-                            seed=runtime.seed,
-                            stereo_noise=noises[i],
-                        )
-                except Exception as err:
-                    raise stage_error(
-                        f"Failed to output result {out_path}", err) from err
-            pl_out.report_status(1.0)
+            # chunk ci's forward is queued on the device; write the PREVIOUS
+            # chunk's files now so its readback + encode overlap this compute
+            flush_pending()
+            pending = (chunk, srcs, inv, noises)
+        flush_pending()
+    except BaseException:
+        # a failure in chunk k+1 must not lose chunk k's finished forward;
+        # flushing first also preserves the sequential loop's error order
+        # (chunk k's output errors surfaced before chunk k+1's)
+        flush_pending()
+        raise
     finally:
         if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
