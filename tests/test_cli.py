@@ -490,6 +490,24 @@ def test_cli_batch_size_decode_error_is_canonical(workdir, tmp_path, capsys):
     assert "Failed to load source image" in err and "zz.jpg" in err
 
 
+def test_cli_batch_size_error_flushes_finished_chunk(workdir, tmp_path, capsys):
+    """Output writing runs one chunk behind the forward (pipeline overlap);
+    a decode failure in chunk k+1 must still write chunk k's finished
+    outputs before the error surfaces (extract_depth_batch flush_pending)."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_flush", 3)
+    (srcdir / "zz.jpg").write_bytes(b"not a jpeg")  # sorts last -> chunk 1
+    outdir = tmp_path / "out_bs_flush"
+    outdir.mkdir()
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--batch-size=2", str(srcdir), str(outdir)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Failed to load source image" in err and "zz.jpg" in err
+    # chunk 0 ([img0, img1]) had already finished its forward: flushed
+    assert (outdir / "img0.png").exists() and (outdir / "img1.png").exists()
+
+
 def test_cli_batch_size_ignored_for_single_file(workdir, tmp_path, capsys):
     d, ckpt, src = workdir
     out = str(tmp_path / "bs_single.png")
