@@ -128,6 +128,17 @@ def main() -> None:
     _ = [np.asarray(s) for s in sums]
     elapsed = (time.perf_counter() - t0) / iters
 
+    # Whole-model FLOP/MFU accounting (flops.py): the LOGICAL model math
+    # (mod.rs:251-363) per image over the measured wall-clock, against the
+    # chip's published dense bf16 peak. Preprocess/stereogram ride in the
+    # denominator but not the numerator, so the reported MFU is a slight
+    # *under*statement of the forward's own utilisation.
+    from matrix_eyes_tpu import flops as me_flops
+
+    ledger = me_flops.model_flops(cfg, with_fov=True)
+    peak = me_flops.device_peak_flops()
+    mfu_headline = me_flops.mfu(ledger["total"], elapsed, peak)
+
     # User-visible end-to-end: same device pipeline, but returning the
     # full stereogram, reading it back to host (~36 MB over the link) and
     # encoding the PNG file a user would actually open (output.rs:141-193
@@ -301,42 +312,53 @@ def main() -> None:
     dm_out_path = os.path.join(out_dir, "me_bench_depth.png")
     dm_host_path = me_png.host_resize_supported() and src_h * src_w > cfg.img_size ** 2
 
-    if dm_host_path:
-        @jax.jit
-        def device_pipeline_dm(photo_u8, perturb):
-            p = (photo_u8.astype(jnp.int32) + perturb) % 256
-            img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
-            inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
-            data = _clamp_inverse_depth.__wrapped__(inv[0])
-            return _render_depth_map_grid.__wrapped__(data)
+    def make_dm_fns(params_, img_dtype):
+        """(one_dm_e2e, dm_readback) for a parameter set / image dtype --
+        shared by the default-dtype and the mixed-mode measurements."""
+        if dm_host_path:
+            @jax.jit
+            def device_pipeline_dm(photo_u8, perturb):
+                p = (photo_u8.astype(jnp.int32) + perturb) % 256
+                img = preprocess_image.__wrapped__(
+                    p.astype(jnp.uint8), cfg.img_size, img_dtype)
+                inv, _fov = depth_pro.forward_with_fov.__wrapped__(
+                    cfg, params_, img, use_flash)
+                data = _clamp_inverse_depth.__wrapped__(inv[0])
+                return _render_depth_map_grid.__wrapped__(data)
 
-        def one_dm_e2e(perturb):
-            me_png.save_depthmap_host_resize(device_pipeline_dm(photo, perturb),
-                                             dm_out_path, src_h, src_w)
+            def one_dm_e2e(perturb):
+                me_png.save_depthmap_host_resize(
+                    device_pipeline_dm(photo, perturb),
+                    dm_out_path, src_h, src_w)
 
-        def dm_readback(perturb):
-            grid = device_pipeline_dm(photo, perturb)
-            grid.copy_to_host_async()
-            return [np.asarray(grid)]
-    else:
-        @jax.jit
-        def device_pipeline_dm(photo_u8, perturb):
-            p = (photo_u8.astype(jnp.int32) + perturb) % 256
-            img = preprocess_image.__wrapped__(p.astype(jnp.uint8), cfg.img_size, dtype)
-            inv, _fov = depth_pro.forward_with_fov.__wrapped__(cfg, params, img, use_flash)
-            data = _clamp_inverse_depth.__wrapped__(inv[0])
-            rgb = _render_depth_map.__wrapped__(data, src_h, src_w)
-            return tuple(rgb[lo:hi] for lo, hi in bounds)
+            def dm_readback(perturb):
+                grid = device_pipeline_dm(photo, perturb)
+                grid.copy_to_host_async()
+                return [np.asarray(grid)]
+        else:
+            @jax.jit
+            def device_pipeline_dm(photo_u8, perturb):
+                p = (photo_u8.astype(jnp.int32) + perturb) % 256
+                img = preprocess_image.__wrapped__(
+                    p.astype(jnp.uint8), cfg.img_size, img_dtype)
+                inv, _fov = depth_pro.forward_with_fov.__wrapped__(
+                    cfg, params_, img, use_flash)
+                data = _clamp_inverse_depth.__wrapped__(inv[0])
+                rgb = _render_depth_map.__wrapped__(data, src_h, src_w)
+                return tuple(rgb[lo:hi] for lo, hi in bounds)
 
-        def one_dm_e2e(perturb):
-            me_png.save_device_bands(device_pipeline_dm(photo, perturb),
-                                     dm_out_path, **me_png.DEPTH_MAP)
+            def one_dm_e2e(perturb):
+                me_png.save_device_bands(device_pipeline_dm(photo, perturb),
+                                         dm_out_path, **me_png.DEPTH_MAP)
 
-        def dm_readback(perturb):
-            bands_d = device_pipeline_dm(photo, perturb)
-            for b in bands_d:
-                b.copy_to_host_async()
-            return [np.asarray(b) for b in bands_d]
+            def dm_readback(perturb):
+                bands_d = device_pipeline_dm(photo, perturb)
+                for b in bands_d:
+                    b.copy_to_host_async()
+                return [np.asarray(b) for b in bands_d]
+        return one_dm_e2e, dm_readback
+
+    one_dm_e2e, dm_readback = make_dm_fns(params, dtype)
 
     one_dm_e2e(jnp.int32(0))  # warmup/compile
     dm_attempts = []
@@ -409,6 +431,50 @@ def main() -> None:
     _ = [np.asarray(s) for s in sums_b]
     batch_per_image = (time.perf_counter() - t0) / (iters_b * BATCH)
 
+    # --- mixed weight-precision mode (--dtype mixed) --------------------
+    # The repo's best accuracy-per-byte result (canonical p99 0.23 % for
+    # +88 MiB over bf16; docs/parity/, scripts/bf16_attribution.py):
+    # measure its device wall-clock + depth-map e2e in the same artifact
+    # so the default-dtype choice cites a measurement (round-5 verdict).
+    # Runs LAST: its f32 stages need matmul precision HIGHEST, and the
+    # process-global flip must not touch the earlier compiles. Skipped
+    # when BENCH_DTYPE pins a non-default mode ('value' measures that).
+    mixed_device = mixed_dm = mixed_mfu = None
+    if not bench_dtype:
+        from matrix_eyes_tpu.ops.mixed import cast_params_mixed
+
+        configure_matmul_precision(jnp.float32, True)
+        params_mixed = jax.block_until_ready(cast_params_mixed(
+            init_params_fast(cfg, dtype=jnp.float32)))
+
+        @jax.jit
+        def device_pipeline_mixed(photo_u8, perturb, key):
+            p = (photo_u8.astype(jnp.int32) + perturb) % 256
+            img = preprocess_image.__wrapped__(
+                p.astype(jnp.uint8), cfg.img_size, jnp.float32)
+            inv, _fov = depth_pro.forward_with_fov.__wrapped__(
+                cfg, params_mixed, img, use_flash)
+            data = _clamp_inverse_depth.__wrapped__(inv[0])
+            stereo = _synthesize.__wrapped__(data, key, src_h, src_w, pw, dm)
+            return jnp.sum(stereo.astype(jnp.uint32))
+
+        _ = np.asarray(device_pipeline_mixed(
+            photo, jnp.int32(0), jax.random.PRNGKey(1)))  # warmup/compile
+        t0 = time.perf_counter()
+        sums_m = [device_pipeline_mixed(photo, p, k)
+                  for p, k in zip(perturbs, keys)]
+        _ = [np.asarray(s) for s in sums_m]
+        mixed_device = (time.perf_counter() - t0) / iters
+        mixed_mfu = me_flops.mfu(ledger["total"], mixed_device, peak)
+
+        one_dm_e2e_m, _ = make_dm_fns(params_mixed, jnp.float32)
+        one_dm_e2e_m(jnp.int32(0))  # warmup/compile
+        t0 = time.perf_counter()
+        for p in perturbs[:e2e_iters]:
+            one_dm_e2e_m(p)
+        mixed_dm = (time.perf_counter() - t0) / e2e_iters
+        del params_mixed
+
     # (b) the pure software cost -- linker-scan replay + striped encode
     # from host-resident arrays to the same file; window-independent.
     # Re-slice the whole-plane host arrays at ENCODE_ROWS exactly like the
@@ -456,6 +522,18 @@ def main() -> None:
         # BASELINE config 5: batch-4 forward throughput, device-side
         # (reachable via the CLI's --batch-size / api.process_batch)
         "batch4_imgs_per_s": round(1.0 / batch_per_image, 2),
+        # whole-model roofline accounting (flops.py): logical model FLOPs
+        # per image and the resulting MFU vs the chip's dense bf16 peak
+        # for the headline and batch-4 paths (None off-TPU)
+        "model_tflops": round(ledger["total"] / 1e12, 4),
+        "mfu": (round(mfu_headline, 4) if mfu_headline else None),
+        "batch4_mfu": (round(me_flops.mfu(
+            ledger["total"], batch_per_image, peak), 4) if peak else None),
+        # --dtype mixed: device wall-clock, depth-map e2e and MFU of the
+        # best-accuracy-per-byte mode (None when BENCH_DTYPE pins a mode)
+        "mixed_device_s": (round(mixed_device, 4) if mixed_device else None),
+        "mixed_e2e_depthmap_png_s": (round(mixed_dm, 4) if mixed_dm else None),
+        "mixed_mfu": (round(mixed_mfu, 4) if mixed_mfu else None),
     }))
 
 

@@ -275,6 +275,13 @@ class MatrixEyes:
         :meth:`process`; images lacking a focal length engage the FOV head
         for the whole batch (forward_with_mixed_fnorm). ``mesh`` shards the
         image batch over its data axis (``parallel.make_mesh``).
+
+        Failures are isolated per image (the reference's
+        one-process-per-image contract, main.rs:161-172): a bad
+        decode/render/write skips that image with the canonical stage
+        message on stderr, the rest of the jobs complete, and ONE summary
+        ReconstructionError ("N of M images failed") is raised at the end.
+        Systemic model/preprocess failures still raise immediately.
         """
         from matrix_eyes_tpu.pipeline import extract_depth_batch
 

@@ -323,6 +323,8 @@ def run(args: Args, progress=None) -> None:
     # device compute share nothing). JAX dispatch stays on this thread. If
     # a prefetch fails, the job falls back to the pipeline's own decode so
     # the error surfaces with the canonical per-stage message.
+    from matrix_eyes_tpu.errors import MatrixEyesError
+
     decode_pool = None
     next_fut = None
     if len(jobs) > 1:
@@ -330,6 +332,7 @@ def run(args: Args, progress=None) -> None:
 
         decode_pool = ThreadPoolExecutor(max_workers=1,
                                          thread_name_prefix="me-decode")
+    failed = 0
     try:
         for i, (src_path, out_path, src) in enumerate(jobs):
             if next_fut is not None:
@@ -341,24 +344,38 @@ def run(args: Args, progress=None) -> None:
             if decode_pool is not None and i + 1 < len(jobs):
                 next_fut = decode_pool.submit(
                     load_source_image, jobs[i + 1][0], args.focal_length)
-            extract_depth(
-                cfg,
-                params,
-                src_path,
-                out_path,
-                focal_length_35mm=args.focal_length,
-                image_format=ImageOutputFormat(args.output_format),
-                vertex_mode=VertexMode(args.vertex_mode),
-                resize_scale=args.resize_scale,
-                stereo_amplitude=args.stereo_amplitude,
-                runtime=runtime,
-                progress=progress,
-                source=src,
-                mesh=mesh,
-            )
+            try:
+                extract_depth(
+                    cfg,
+                    params,
+                    src_path,
+                    out_path,
+                    focal_length_35mm=args.focal_length,
+                    image_format=ImageOutputFormat(args.output_format),
+                    vertex_mode=VertexMode(args.vertex_mode),
+                    resize_scale=args.resize_scale,
+                    stereo_amplitude=args.stereo_amplitude,
+                    runtime=runtime,
+                    progress=progress,
+                    source=src,
+                    mesh=mesh,
+                )
+            except MatrixEyesError:
+                # Directory mode gets per-image failure isolation (the
+                # reference runs one process per image, main.rs:161-172:
+                # a bad photo fails ITS run only). The canonical stage
+                # message was already printed by the pipeline; keep going
+                # and exit 1 at the end with a summary.
+                if not batch:
+                    raise
+                failed += 1
     finally:
         if decode_pool is not None:
             decode_pool.shutdown(wait=False, cancel_futures=True)
+    if failed:
+        from matrix_eyes_tpu.errors import ReconstructionError
+
+        raise ReconstructionError(f"{failed} of {len(jobs)} images failed")
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -224,6 +224,88 @@ class DepthMap:
 
     # -- dispatch (output.rs:100-121) --------------------------------------
 
+    def prepare_output(
+        self,
+        destination_path: str,
+        source_path: str,
+        image_format: ImageOutputFormat = ImageOutputFormat.DEPTH_MAP,
+        vertex_mode: VertexMode = VertexMode.COLOR,
+        resize_scale: Optional[float] = None,
+        amplitude: float = 1.0 / 16.0,
+        seed: int = 0,
+        stereo_noise=None,
+    ):
+        """Phase 1 of :meth:`output_image`: dispatch this output's DEVICE
+        render programs now and return a zero-argument writer performing
+        phase 2 (the blocking device->host readback + host encode + file
+        write).
+
+        The split exists for the batched pipeline: per-device execution is
+        FIFO, so chunk k's render programs must enter the queue BEFORE
+        chunk k+1's forward is dispatched or the phase-2 readback stalls
+        behind that whole forward (pipeline.extract_depth_batch)."""
+        from matrix_eyes_tpu import timings
+        from matrix_eyes_tpu.output import png
+
+        dest = destination_path.lower()
+        if dest.endswith(".ply") or dest.endswith(".obj"):
+            # the clamp program was enqueued by DepthMap.new; the mesh
+            # build/serialisation is host work off the readback
+            return lambda: self._output_mesh(
+                destination_path, source_path, vertex_mode)
+        if image_format == ImageOutputFormat.DEPTH_MAP:
+            ow, oh = self.original_size
+            gh, gw = self.data.shape
+            if (dest.endswith(".png") and oh * ow > gh * gw
+                    and png.host_resize_supported()):
+                # upsizing to the source photo: transfer the grid-resolution
+                # colour image (3 B/px at 1536^2) and Lanczos3-upsize on the
+                # host -- ~5x less device->host traffic than the full plane
+                with timings.span("output: render dispatch"):
+                    grid = self.render_depth_map_grid()
+                return lambda: png.save_depthmap_host_resize(
+                    grid, destination_path, oh, ow)
+            if dest.endswith(".png"):
+                with timings.span("output: render dispatch"):
+                    bands = self.render_depth_map_bands()
+                return lambda: png.save_device_bands(
+                    bands, destination_path, **png.DEPTH_MAP)
+            from matrix_eyes_tpu import aot
+
+            def render(data):
+                return _render_depth_map.__wrapped__(data, oh, ow)
+
+            with timings.span("output: render dispatch"):
+                arr = aot.call_cached(
+                    "render_depthmap", render, (self.data,), salt=f"{oh}x{ow}")
+            return lambda: self._save_image(np.asarray(arr), destination_path)
+        # Stereogram pixel chains are long exact LZ matches, so zlib
+        # level 1 already compresses them ~5x while encoding ~2x faster
+        # than level 6 (see output/png.py); PNG row filters would only
+        # obscure the matches, so the stereogram profile is filter=None.
+        split = None
+        if dest.endswith(".png") and png.split_supported():
+            # compact (shift, noise) form: ~2.2x less device->host
+            # traffic; the native encoder replays the linker scan
+            with timings.span("output: render dispatch"):
+                split = self.render_stereogram_split(
+                    resize_scale, amplitude, seed, noise=stereo_noise)
+        if split is not None:
+            pw, pairs = split
+            return lambda: png.save_stereogram_split(
+                pairs, destination_path, pw, level=png.STEREOGRAM["level"])
+        if dest.endswith(".png"):
+            with timings.span("output: render dispatch"):
+                bands = self.render_stereogram_bands(
+                    resize_scale, amplitude, seed)
+            return lambda: png.save_device_bands(
+                bands, destination_path, **png.STEREOGRAM)
+        ow2, oh2 = self._stereogram_size(resize_scale)
+        with timings.span("output: render dispatch"):
+            arr = synthesize_stereogram(self.data, oh2, ow2, amplitude, seed)
+        return lambda: self._save_image(np.asarray(arr), destination_path,
+                                        fast_png=True)
+
     def output_image(
         self,
         destination_path: str,
@@ -235,54 +317,16 @@ class DepthMap:
         seed: int = 0,
         stereo_noise=None,
     ) -> None:
-        from matrix_eyes_tpu import timings
-        from matrix_eyes_tpu.output import png
-
-        dest = destination_path.lower()
-        if dest.endswith(".ply") or dest.endswith(".obj"):
-            self._output_mesh(destination_path, source_path, vertex_mode)
-        elif image_format == ImageOutputFormat.DEPTH_MAP:
-            ow, oh = self.original_size
-            gh, gw = self.data.shape
-            if (dest.endswith(".png") and oh * ow > gh * gw
-                    and png.host_resize_supported()):
-                # upsizing to the source photo: transfer the grid-resolution
-                # colour image (3 B/px at 1536^2) and Lanczos3-upsize on the
-                # host -- ~5x less device->host traffic than the full plane
-                with timings.span("output: render dispatch"):
-                    grid = self.render_depth_map_grid()
-                png.save_depthmap_host_resize(grid, destination_path, oh, ow)
-            elif dest.endswith(".png"):
-                with timings.span("output: render dispatch"):
-                    bands = self.render_depth_map_bands()
-                png.save_device_bands(bands, destination_path,
-                                      **png.DEPTH_MAP)
-            else:
-                self._save_image(self.render_depth_map(), destination_path)
-        else:
-            # Stereogram pixel chains are long exact LZ matches, so zlib
-            # level 1 already compresses them ~5x while encoding ~2x faster
-            # than level 6 (see output/png.py); PNG row filters would only
-            # obscure the matches, so the stereogram profile is filter=None.
-            split = None
-            if dest.endswith(".png") and png.split_supported():
-                # compact (shift, noise) form: ~2.2x less device->host
-                # traffic; the native encoder replays the linker scan
-                with timings.span("output: render dispatch"):
-                    split = self.render_stereogram_split(
-                        resize_scale, amplitude, seed, noise=stereo_noise)
-            if split is not None:
-                pw, pairs = split
-                png.save_stereogram_split(pairs, destination_path, pw,
-                                          level=png.STEREOGRAM["level"])
-            elif dest.endswith(".png"):
-                png.save_device_bands(
-                    self.render_stereogram_bands(resize_scale, amplitude, seed),
-                    destination_path, **png.STEREOGRAM)
-            else:
-                self._save_image(
-                    self.render_stereogram(resize_scale, amplitude, seed),
-                    destination_path, fast_png=True)
+        self.prepare_output(
+            destination_path,
+            source_path,
+            image_format=image_format,
+            vertex_mode=vertex_mode,
+            resize_scale=resize_scale,
+            amplitude=amplitude,
+            seed=seed,
+            stereo_noise=stereo_noise,
+        )()
 
     @staticmethod
     def _save_image(rgb: np.ndarray, path: str, fast_png: bool = False) -> None:

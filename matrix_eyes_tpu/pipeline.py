@@ -76,16 +76,22 @@ def extract_depth_batch(
     AOT entry per batch size, not one per remainder).
 
     Output writing is pipelined one chunk behind the forward: chunk k's
-    files (device->host readback + PNG/mesh encode -- the host-bound tail)
-    are written AFTER chunk k+1's forward has been dispatched, so the host
-    work rides the device compute instead of serialising with it. JAX
-    dispatch is async, the render programs for chunk k are enqueued before
-    the forward of chunk k+1 touches the queue inside output_image's own
-    dispatch spans, and nothing here reorders files on disk -- outputs stay
+    render programs are dispatched right after its own forward (via
+    DepthMap.prepare_output, so they enter the per-device FIFO queue
+    BEFORE chunk k+1's forward), and the host-bound tail -- the blocking
+    readback + PNG/mesh encode -- runs after chunk k+1's forward has been
+    dispatched, riding that forward's device time instead of serialising
+    with it. Nothing here reorders files on disk: outputs stay
     byte-identical to the unpipelined loop (tests/test_cli.py
-    test_batch_size_byte_identical). On an error in chunk k+1 the finished
-    chunk k is flushed first, preserving the sequential loop's error
-    order."""
+    test_cli_batch_size_outputs_match_batch1).
+
+    Failure isolation matches the reference's one-process-per-image
+    design (main.rs:161-172 exits per image): a failing decode, render or
+    write skips THAT image with the canonical per-stage message on stderr
+    and the rest of the directory still completes; at the end the run
+    raises one summary ReconstructionError ("N of M images failed") so
+    the CLI exits 1. Model/preprocess failures (systemic, whole-chunk)
+    still abort the run, after flushing any finished chunk."""
     runtime = runtime or RuntimeConfig()
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -144,33 +150,26 @@ def extract_depth_batch(
         cursor = min(1.0, cursor + width)
         return SplitProgressListener(progress, lo, cursor)
 
-    # (chunk, srcs, inv, noises) of the forward-complete-but-unwritten chunk
+    # (jobs, zero-arg writers) of the forward-complete-but-unwritten chunk
     pending = None
+    # (out_path, error) per skipped image; one summary error at the end
+    failures = []
 
     def flush_pending() -> None:
         nonlocal pending
         if pending is None:
             return
-        p_chunk, p_srcs, p_inv, p_noises = pending
+        p_jobs, p_writers = pending
         pending = None
         pl_out = take(out_w)
         pl_out.update_message("writing output")
-        for i, ((src_path, out_path), s) in enumerate(zip(p_chunk, p_srcs)):
+        for (_src_path, out_path), write in zip(p_jobs, p_writers):
             try:
                 with timings.span("write output"):
-                    DepthMap.new(p_inv[i], s.original_size).output_image(
-                        out_path,
-                        src_path,
-                        image_format=image_format,
-                        vertex_mode=vertex_mode,
-                        resize_scale=resize_scale,
-                        amplitude=stereo_amplitude,
-                        seed=runtime.seed,
-                        stereo_noise=p_noises[i],
-                    )
+                    write()
             except Exception as err:
-                raise stage_error(
-                    f"Failed to output result {out_path}", err) from err
+                failures.append((out_path, stage_error(
+                    f"Failed to output result {out_path}", err)))
         pl_out.report_status(1.0)
 
     try:
@@ -178,24 +177,35 @@ def extract_depth_batch(
             pl_model = take(model_w)
             futs, next_futs = next_futs, None
             pl_model.update_message("loading source images")
-            srcs = []
-            for j, (src_path, _out) in enumerate(chunk):
+            live = []  # ((src_path, out_path), SourceImage) that decoded
+            for j, (src_path, out_path) in enumerate(chunk):
                 try:
                     with timings.span("decode source image"):
-                        if futs is not None:
-                            srcs.append(futs[j].result())
-                        else:
-                            srcs.append(decode(src_path))
+                        src = futs[j].result() if futs is not None \
+                            else decode(src_path)
+                    live.append(((src_path, out_path), src))
                 except Exception as err:
-                    raise stage_error(
-                        f"Failed to load source image {src_path}", err) from err
+                    failures.append((out_path, stage_error(
+                        f"Failed to load source image {src_path}", err)))
+
+            # kick off the NEXT chunk's decodes before this chunk's device
+            # work so they overlap it
+            if pool is not None and ci + 1 < len(chunks):
+                next_futs = [pool.submit(decode, p)
+                             for p, _o in chunks[ci + 1]]
+
+            if not live:
+                flush_pending()
+                pl_model.report_status(1.0)
+                continue
+            srcs = [s for _job, s in live]
             try:
                 with timings.span("preprocess (device)"):
                     imgs = [aot.call_cached(
                         "preprocess", pre, (jnp.asarray(s.rgb),),
                         salt=f"{cfg.img_size}|{jnp.dtype(rt_dtype)}")
                         for s in srcs]
-                    pad = batch_size - len(chunk)
+                    pad = batch_size - len(live)
                     img = jnp.concatenate(imgs + [imgs[-1]] * pad)
                     if mesh is not None:
                         img = shard_batch(img, mesh)
@@ -203,12 +213,6 @@ def extract_depth_batch(
                 # device-side preprocessing/assembly, not file decode: blame
                 # the right stage (decode failures are caught above, per file)
                 raise stage_error("Failed to process image", err) from err
-
-            # kick off the NEXT chunk's decodes before this chunk's device
-            # work so they overlap it
-            if pool is not None and ci + 1 < len(chunks):
-                next_futs = [pool.submit(decode, p)
-                             for p, _o in chunks[ci + 1]]
 
             f_norms = [s.f_norm() for s in srcs]
             f_norms = f_norms + [f_norms[-1]] * pad
@@ -218,7 +222,7 @@ def extract_depth_batch(
             noises = [maybe_prefetch_stereo_noise(
                 out, image_format, s.original_size, resize_scale,
                 stereo_amplitude, runtime.seed)
-                for (_s, out), s in zip(chunk, srcs)]
+                for (_s, out), s in live]
 
             pl_model.update_message("extracting depth")
             try:
@@ -259,20 +263,55 @@ def extract_depth_batch(
                 raise stage_error("Failed to process image", err) from err
             pl_model.report_status(1.0)
 
-            # chunk ci's forward is queued on the device; write the PREVIOUS
-            # chunk's files now so its readback + encode overlap this compute
+            # Dispatch THIS chunk's render programs before anything else
+            # (the pending flush below, the next iteration's forward)
+            # enters the device queue: per-device execution is FIFO, so
+            # this is what lets the NEXT flush's blocking readback complete
+            # without waiting out a whole later forward.
+            writers, w_jobs = [], []
+            for i, ((src_path, out_path), s) in enumerate(live):
+                try:
+                    with timings.span("output: render dispatch"):
+                        writers.append(
+                            DepthMap.new(inv[i], s.original_size)
+                            .prepare_output(
+                                out_path,
+                                src_path,
+                                image_format=image_format,
+                                vertex_mode=vertex_mode,
+                                resize_scale=resize_scale,
+                                amplitude=stereo_amplitude,
+                                seed=runtime.seed,
+                                stereo_noise=noises[i],
+                            ))
+                    w_jobs.append((src_path, out_path))
+                except Exception as err:
+                    failures.append((out_path, stage_error(
+                        f"Failed to output result {out_path}", err)))
+
+            # chunk ci's forward + renders are queued on the device; write
+            # the PREVIOUS chunk's files now so its readback + encode
+            # overlap this chunk's compute
             flush_pending()
-            pending = (chunk, srcs, inv, noises)
+            pending = (w_jobs, writers)
         flush_pending()
-    except BaseException:
-        # a failure in chunk k+1 must not lose chunk k's finished forward;
-        # flushing first also preserves the sequential loop's error order
-        # (chunk k's output errors surfaced before chunk k+1's)
+    except Exception:
+        # a systemic failure in chunk k+1 must not lose chunk k's finished
+        # forward; flushing first also preserves the sequential loop's
+        # error order (chunk k's output errors surfaced before chunk
+        # k+1's). KeyboardInterrupt/SystemExit propagate immediately --
+        # no burst of file writes on a Ctrl-C.
         flush_pending()
         raise
     finally:
         if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
+    if failures:
+        # Per-image isolation (the reference's one-process-per-image exit
+        # contract, main.rs:161-172): every failure already printed its
+        # canonical stage message; surface one summary so the CLI exits 1.
+        raise ReconstructionError(
+            f"{len(failures)} of {len(jobs)} images failed")
 
 
 def extract_depth(

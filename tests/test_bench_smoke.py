@@ -47,3 +47,11 @@ def test_bench_json_contract(monkeypatch, capsys, photo):
     assert attempts and attempts[0]["e2e_png_s"] > 0.0
     # the best attempt is what the headline keys report
     assert rec["e2e_png_s"] == min(a["e2e_png_s"] for a in attempts)
+    # roofline accounting: model FLOPs always present; MFU only where the
+    # chip's peak is known (None on the CPU test backend)
+    assert rec["model_tflops"] > 0.0
+    assert rec["mfu"] is None and rec["batch4_mfu"] is None
+    # the mixed-mode row rides in the default run (None when BENCH_DTYPE
+    # pins a mode -- 'value' measures that mode directly)
+    assert rec["mixed_device_s"] > 0.0
+    assert rec["mixed_e2e_depthmap_png_s"] > 0.0

@@ -508,6 +508,62 @@ def test_cli_batch_size_error_flushes_finished_chunk(workdir, tmp_path, capsys):
     assert (outdir / "img0.png").exists() and (outdir / "img1.png").exists()
 
 
+def test_cli_batch_size_keep_going_isolates_bad_image(workdir, tmp_path, capsys):
+    """Per-image failure isolation (the reference's one-process-per-image
+    exit contract, main.rs:161-172): one corrupt file in the middle of a
+    --batch-size run skips that image with the canonical stage message,
+    the REST of the directory still completes, and the run exits 1 with
+    a summary."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_kg", 4)
+    (srcdir / "img1x.jpg").write_bytes(b"not a jpeg")  # sorts mid-run
+    outdir = tmp_path / "out_bs_kg"
+    outdir.mkdir()
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--batch-size=2", str(srcdir), str(outdir)])
+    assert rc == 1
+    cap = capsys.readouterr()
+    assert "Failed to load source image" in cap.err and "img1x.jpg" in cap.err
+    assert "1 of 5 images failed" in cap.out
+    for i in range(4):
+        assert (outdir / f"img{i}.png").exists(), i
+    assert not (outdir / "img1x.png").exists()
+
+
+def test_cli_batch_size_keep_going_isolates_output_error(workdir, tmp_path, capsys):
+    """A per-image OUTPUT failure (unwritable destination) is isolated the
+    same way: canonical message, remaining images complete, exit 1."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_bs_kgo", 3)
+    outdir = tmp_path / "out_bs_kgo"
+    outdir.mkdir()
+    (outdir / "img1.png").mkdir()  # write of img1's output must fail
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               "--batch-size=2", str(srcdir), str(outdir)])
+    assert rc == 1
+    cap = capsys.readouterr()
+    assert "Failed to output result" in cap.err and "img1.png" in cap.err
+    assert "1 of 3 images failed" in cap.out
+    assert (outdir / "img0.png").is_file() and (outdir / "img2.png").is_file()
+
+
+def test_cli_batch1_loop_keep_going(workdir, tmp_path, capsys):
+    """The batch-size=1 directory loop has the same per-image isolation."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_b1_kg", 3)
+    (srcdir / "img0x.jpg").write_bytes(b"not a jpeg")
+    outdir = tmp_path / "out_b1_kg"
+    outdir.mkdir()
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(outdir)])
+    assert rc == 1
+    cap = capsys.readouterr()
+    assert "Failed to load source image" in cap.err and "img0x.jpg" in cap.err
+    assert "1 of 4 images failed" in cap.out
+    for i in range(3):
+        assert (outdir / f"img{i}.png").exists(), i
+
+
 def test_cli_batch_size_ignored_for_single_file(workdir, tmp_path, capsys):
     d, ckpt, src = workdir
     out = str(tmp_path / "bs_single.png")

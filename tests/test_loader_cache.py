@@ -294,7 +294,9 @@ def test_readonly_checkpoint_dir_degrades_gracefully(ckpt, tmp_path):
     os.chmod(ro_dir, stat.S_IRUSR | stat.S_IXUSR)
     try:
         if os.access(str(ro_dir), os.W_OK):  # running as root: chmod is moot
-            pytest.skip("cannot make a directory read-only for this user")
+            from expected_skips import SKIP_ROOT_CANNOT_DROP_WRITE
+
+            pytest.skip(SKIP_ROOT_CANNOT_DROP_WRITE)
         link = str(link_dir / "m.pt")
         os.symlink(real, link)
         _, p = load_checkpoint(link, dtype=jnp.float32, convert_checkpoints=True)

@@ -16,10 +16,11 @@ CKPT = "/tmp/ckpt_full/depth_pro.pt"
 ART_DIRS = [d for d in glob.glob("/tmp/parity*") if
             os.path.exists(os.path.join(d, "stages-f32.json"))]
 
+from expected_skips import SKIP_NO_FULL_CHECKPOINT
+
 pytestmark = pytest.mark.skipif(
     not (os.path.exists(CKPT) and ART_DIRS),
-    reason="full-size checkpoint / parity artifacts not present "
-           "(run scripts/parity_real.py stages-f32)")
+    reason=SKIP_NO_FULL_CHECKPOINT)
 
 
 @pytest.mark.parametrize("art_dir", ART_DIRS)
