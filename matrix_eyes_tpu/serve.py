@@ -42,9 +42,15 @@ an idle-arrival request still runs batch-1 latency.
 In-flight POST work is bounded by a semaphore (``--max-inflight``,
 default 8): excess requests get an immediate 503 + Retry-After instead of
 pinning an unbounded number of handler threads each holding a decoded
-body. Errors map to JSON: 400 for bad inputs (undecodable image, unknown
-format, out-of-range numbers), 500 for reconstruction failures -- the
-same stage messages the CLI prints (errors.py).
+body. ``/v1/process`` responses are spooled on disk and STREAMED to the
+socket in fixed-size chunks (_FileResponse): a 12 MP texture-coordinates
+mesh is a ~378 MB OBJ, and per-request memory stays O(1 MiB) rather than
+O(response) x max-inflight. Errors map to JSON: 400 for bad inputs
+(undecodable image, unknown format, out-of-range numbers), 500 for
+reconstruction failures -- the same stage messages the CLI prints
+(errors.py). Burst throughput is measured through real HTTP by
+scripts/bench_serve_burst.py (the BASELINE config-5 number over this
+surface; committed artifact docs/perf/serve_burst_r5.json).
 """
 
 from __future__ import annotations
@@ -115,20 +121,51 @@ def _sniff_image_ext(path: str) -> Optional[str]:
             "tiff": ".tif", "webp": ".webp"}.get(fmt)
 
 
-def _zip_files(directory: str, names) -> bytes:
-    """Zip ``names`` (paths relative to ``directory``) into one in-memory
-    archive. Deflate level 1: a 12 MP mesh's OBJ is hundreds of MB of
-    ASCII; level 1 compresses it several-fold at ~100 MB/s, higher levels
-    only add latency."""
-    import io
+def _zip_files(directory: str, names, out_path: str) -> None:
+    """Zip ``names`` (paths relative to ``directory``) into ``out_path``.
+    Deflate level 1: a 12 MP mesh's OBJ is hundreds of MB of ASCII; level 1
+    compresses it several-fold at ~100 MB/s, higher levels only add
+    latency. Spooled to disk, never RAM: the response is streamed from the
+    file (_FileResponse)."""
     import zipfile
 
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED,
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED,
                          compresslevel=1) as zf:
         for name in names:
             zf.write(os.path.join(directory, name), arcname=name)
-    return buf.getvalue()
+
+
+class _FileResponse:
+    """A response spooled on disk and streamed to the socket in fixed-size
+    chunks, so per-request memory stays O(CHUNK) no matter how large the
+    output (a 12 MP texture-coordinates mesh is a ~378 MB OBJ; holding it
+    -- times --max-inflight -- in RAM was the round-4 memory hazard).
+
+    Owns its temp directory: ``cleanup()`` runs after the stream (or on a
+    failed send), so the file lives exactly as long as the transfer."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, path: str, cleanup_dir: Optional[str] = None):
+        self.path = path
+        self.cleanup_dir = cleanup_dir
+        self.size = os.path.getsize(path)
+
+    def stream_to(self, wfile) -> None:
+        import shutil
+
+        try:
+            with open(self.path, "rb") as f:
+                shutil.copyfileobj(f, wfile, self.CHUNK)
+        finally:
+            self.cleanup()
+
+    def cleanup(self) -> None:
+        import shutil
+
+        if self.cleanup_dir is not None:
+            shutil.rmtree(self.cleanup_dir, ignore_errors=True)
+            self.cleanup_dir = None
 
 
 class _MicroBatcher:
@@ -249,17 +286,23 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route through one line per request
         print(f"serve: {self.address_string()} {fmt % args}", flush=True)
 
-    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+    def _reply(self, code: int, body, ctype: str) -> None:
+        """``body``: bytes (small replies) or a _FileResponse, streamed in
+        fixed chunks with its temp dir cleaned up after the transfer."""
         self.send_response(code)
         self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
+        size = body.size if isinstance(body, _FileResponse) else len(body)
+        self.send_header("Content-Length", str(size))
         if self.close_connection:
             # we are about to drop the connection (oversized body, raw
             # failure): say so, or an HTTP/1.1 client may legally pipeline
             # its next request into a socket we already closed
             self.send_header("Connection", "close")
         self.end_headers()
-        self.wfile.write(body)
+        if isinstance(body, _FileResponse):
+            body.stream_to(self.wfile)
+        else:
+            self.wfile.write(body)
 
     def _reply_json(self, code: int, obj) -> None:
         self._reply(code, json.dumps(obj).encode() + b"\n", "application/json")
@@ -402,7 +445,16 @@ class _Handler(BaseHTTPRequestHandler):
             "stereogram" if fmt == "stereogram" else "depthmap")
         seed = self.session.runtime.seed
 
-        with tempfile.TemporaryDirectory(prefix="me_serve_") as d:
+        # Manual mkdtemp, not TemporaryDirectory: the output file must
+        # outlive this function -- the response is STREAMED from it in
+        # fixed-size chunks (_FileResponse owns the directory and removes
+        # it after the transfer), so a 378 MB texture-mesh reply never
+        # materialises in RAM. On any error before the handoff the
+        # directory is removed here.
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="me_serve_")
+        try:
             src = os.path.join(d, "src.bin")  # PIL sniffs content, not name
             with open(src, "wb") as f:
                 f.write(body)
@@ -436,13 +488,21 @@ class _Handler(BaseHTTPRequestHandler):
                                 resize_scale=resize_scale,
                                 amplitude=amplitude, seed=seed,
                                 stereo_noise=noise)
-                return _zip_files(d, ["out.obj", "out.mtl", tex_name]), ctype
+                zip_path = os.path.join(d, "bundle.zip")
+                _zip_files(d, ["out.obj", "out.mtl", tex_name], zip_path)
+                resp = _FileResponse(zip_path, cleanup_dir=d)
+                d = None  # ownership moved to the response
+                return resp, ctype
             dm.output_image(dst, src, image_format=image_format,
                             vertex_mode=VertexMode(vertex_mode),
                             resize_scale=resize_scale, amplitude=amplitude,
                             seed=seed, stereo_noise=noise)
-            with open(dst, "rb") as f:
-                return f.read(), ctype
+            resp = _FileResponse(dst, cleanup_dir=d)
+            d = None  # ownership moved to the response
+            return resp, ctype
+        finally:
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _depth(self, body: bytes, q: dict):
         import io

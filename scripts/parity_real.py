@@ -135,6 +135,10 @@ def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False,
               quantize_weights=None):
     """(inv, fov_deg, canonical) at the given dtype.
 
+    ``dtype`` may be the string ``"mixed"`` for the --dtype mixed weight
+    policy (ops/mixed.py: bf16 ViT block matmul weights, f32 everything
+    else with true-f32 arithmetic); otherwise a jnp dtype.
+
     ``quantize_weights``: round-trip the parameters through this dtype
     before running (e.g. f32 compute with bf16-rounded weights isolates
     weight-quantisation error from compute error on the real artifact --
@@ -149,17 +153,30 @@ def _jax_full(cfg, checkpoint, img_np, dtype, use_flash=False,
     from matrix_eyes_tpu.models import fov as fov_mod
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
-    # f32 on TPU must mean true f32 (multi-pass MXU decomposition), both
-    # for the product's reference-grade path and so the weight-quantisation
-    # probe isolates weight rounding with exact compute
-    configure_matmul_precision(dtype)
-    # straight from the .pt: the probe quantifies RUNTIME dtype error, so
-    # the weights must be the checkpoint's f32 values cast once to
-    # ``dtype``, not the f16 cache convention's values
-    _, params = load_checkpoint(checkpoint, dtype=dtype, use_caches=False)
-    if quantize_weights is not None:
-        params = jax.tree.map(
-            lambda a: a.astype(quantize_weights).astype(dtype), params)
+    if dtype == "mixed":
+        if quantize_weights is not None:
+            raise SystemExit("--quantize-weights does not compose with mixed")
+        from matrix_eyes_tpu.ops.mixed import cast_params_mixed
+
+        # mixed semantics: f32 stages at HIGHEST precision, f32 image
+        # (dtype flow is input-driven -- config.RuntimeConfig.image_dtype)
+        configure_matmul_precision(jnp.float32, True)
+        _, params = load_checkpoint(checkpoint, dtype=jnp.float32,
+                                    use_caches=False)
+        params = cast_params_mixed(params)
+        dtype = jnp.float32
+    else:
+        # f32 on TPU must mean true f32 (multi-pass MXU decomposition),
+        # both for the product's reference-grade path and so the weight-
+        # quantisation probe isolates weight rounding with exact compute
+        configure_matmul_precision(dtype)
+        # straight from the .pt: the probe quantifies RUNTIME dtype error,
+        # so the weights must be the checkpoint's f32 values cast once to
+        # ``dtype``, not the f16 cache convention's values
+        _, params = load_checkpoint(checkpoint, dtype=dtype, use_caches=False)
+        if quantize_weights is not None:
+            params = jax.tree.map(
+                lambda a: a.astype(quantize_weights).astype(dtype), params)
 
     @jax.jit
     def full(p, im):
@@ -191,7 +208,8 @@ def run_tpu_e2e(args):
 
     from matrix_eyes_tpu.pt.loader import load_checkpoint
 
-    dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32}[args.dtype]
+    dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32,
+             "mixed": "mixed"}[args.dtype]
     ref_path = os.path.join(args.out_dir, "torch_ref_outputs.npz")
     if not os.path.exists(ref_path):
         raise SystemExit(f"run stages-f32 first (missing {ref_path})")
@@ -201,7 +219,9 @@ def run_tpu_e2e(args):
 
     qw = {"none": None, "bf16": jnp2.bfloat16, "f16": jnp2.float16}[
         args.quantize_weights]
-    cfg, _ = load_checkpoint(args.checkpoint, dtype=dtype, parts=("head",))
+    cfg, _ = load_checkpoint(args.checkpoint,
+                             dtype=jnp.float32 if dtype == "mixed" else dtype,
+                             parts=("head",))
     img_np, _src = load_inputs(args.image, cfg.img_size)
     t0 = time.time()
     inv_j, fov_j, canon_j = _jax_full(cfg, args.checkpoint, img_np, dtype,
@@ -312,7 +332,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["stages-f32", "e2e-bf16", "tpu-e2e",
                                      "torch-ref"])
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f16", "f32"])
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f16", "f32", "mixed"])
     ap.add_argument("--quantize-weights", default="none",
                     choices=["none", "bf16", "f16"],
                     help="tpu-e2e only: round-trip weights through this "

@@ -187,6 +187,67 @@ def test_texture_mode_served_as_zip(served, tmp_path):
     assert zf.read("out.obj") == (tmp_path / "out.obj").read_bytes()
 
 
+def test_process_responses_stream_from_disk_spool(served, monkeypatch):
+    """Every /v1/process reply (the round-5 memory contract) is spooled on
+    disk and streamed via serve._FileResponse -- never materialised in
+    server RAM -- and the spool directory is gone after the transfer."""
+    import os
+
+    import matrix_eyes_tpu.serve as serve_mod
+
+    base, jpeg, _ = served
+    seen = {}
+    orig = serve_mod._FileResponse.stream_to
+
+    def spy(self, wfile):
+        seen["size"] = self.size
+        seen["dir"] = self.cleanup_dir
+        return orig(self, wfile)
+
+    monkeypatch.setattr(serve_mod._FileResponse, "stream_to", spy)
+    code, ctype, body = _post(
+        base + "/v1/process?format=obj&focal-length=35"
+               "&vertex-mode=texture-coordinates", jpeg)
+    assert code == 200 and ctype == "application/zip"
+    assert seen["size"] == len(body)
+    # cleanup happens server-side just after the last chunk is written;
+    # the client can observe the full body a beat earlier, so poll
+    assert seen["dir"] is not None
+    import time
+
+    for _ in range(100):
+        if not os.path.exists(seen["dir"]):
+            break
+        time.sleep(0.05)
+    assert not os.path.exists(seen["dir"])
+
+
+def test_file_response_transfer_memory_is_chunk_bounded(tmp_path):
+    """Streaming a 64 MB spool allocates O(CHUNK), not O(size): the bound
+    that keeps a 378 MB texture-mesh reply (times --max-inflight) from
+    multi-GB RSS (the round-4 verdict's serve memory hazard)."""
+    import tracemalloc
+
+    from matrix_eyes_tpu.serve import _FileResponse
+
+    big = tmp_path / "big.bin"
+    with open(big, "wb") as f:
+        f.seek(64 * 1024 * 1024 - 1)
+        f.write(b"\0")
+
+    class Sink:
+        def write(self, b):
+            return len(b)
+
+    resp = _FileResponse(str(big))
+    assert resp.size == 64 * 1024 * 1024
+    tracemalloc.start()
+    resp.stream_to(Sink())
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, peak
+
+
 def test_texture_mode_transcodes_exotic_encodings(served):
     """A GIF body decodes fine as a SOURCE but is useless as an OBJ map_Kd
     target; the served zip must carry a transcoded texture.png, never an
