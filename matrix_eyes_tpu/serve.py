@@ -338,6 +338,17 @@ class _Handler(BaseHTTPRequestHandler):
                 # (ops/quant.py int8, ops/mixed.py mixed)
                 "weight_policy": ("int8" if rt.quantize_int8
                                   else "mixed" if rt.mixed_bf16 else "plain"),
+                # the measured reason bf16 is the TPU default and mixed is
+                # opt-in (round-5 decision, BENCH_r05 / docs/PERFORMANCE.md
+                # "Default dtype"): mixed's f32 stages run at the MXU's
+                # 1/8-rate HIGHEST decomposition -- 0.447 s device and
+                # 1.82 s depth-map e2e vs bf16's 0.164 s / 0.85 s, over
+                # the < 1 s/image target; its accuracy win (canonical p99
+                # 0.23 % vs 6.1 %) is one --dtype=mixed flag away
+                "default_dtype_policy": (
+                    "bf16: mixed measured 2.7x device time (0.447 s vs "
+                    "0.164 s; e2e 1.82 s > 1 s target) -- see "
+                    "docs/PERFORMANCE.md 'Default dtype decision'"),
             })
             return
         if path == "/":

@@ -52,6 +52,20 @@ def _post(url: str, body: bytes, retries: int = 50) -> int:
     raise RuntimeError("server kept replying 503")
 
 
+def _relay_control() -> float:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    rts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(jnp.sum(jnp.zeros((8,), jnp.float32) + jnp.float32(i + 1)))
+        rts.append(time.perf_counter() - t0)
+    return round(sorted(rts)[1], 4)
+
+
 def _run_mode(session, photo: bytes, max_batch: int, requests: int,
               concurrency: int, fmt: str) -> dict:
     from matrix_eyes_tpu.serve import create_server
@@ -77,7 +91,13 @@ def _run_mode(session, photo: bytes, max_batch: int, requests: int,
         return {"max_batch": max_batch, "requests": requests,
                 "concurrency": concurrency,
                 "wall_s": round(wall, 3),
-                "requests_per_s": round(requests / wall, 3)}
+                "requests_per_s": round(requests / wall, 3),
+                # relay-health control (same honesty mechanism as
+                # bench.py): median trivial dispatch+readback round trip
+                # AT MEASUREMENT TIME -- ~0.04 s healthy on the dev
+                # tunnel, much larger marks a degraded window, and the
+                # two modes run minutes apart so each carries its own
+                "relay_dispatch_rt_s": _relay_control()}
     finally:
         server.shutdown()
         server.server_close()

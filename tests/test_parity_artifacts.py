@@ -30,7 +30,10 @@ def test_artifacts_present():
     # the evidence set itself is part of the contract: losing an artifact
     # silently would un-assert the claim it carried
     assert len(STAGES_F32) >= 3, STAGES_F32
-    assert len(TPU_E2E) >= 2, TPU_E2E
+    assert len(TPU_E2E) >= 3, TPU_E2E
+    # the mixed weight-precision mode -- the repo's best accuracy-per-byte
+    # result -- must stay gated by an always-run artifact (round-5 verdict)
+    assert any("mixed" in os.path.basename(p) for p in TPU_E2E), TPU_E2E
     assert os.path.exists(HF_THREE_WAY)
 
 
@@ -57,10 +60,36 @@ def test_half_precision_canonical_contract(art):
     artifacts measure p99 5.2-6.1 % on this fixture class; the
     reference-grade path for tail-sensitive users is --dtype f32 (true-f32
     MXU matmuls, 0.931 s/image -- still under target). The same thresholds
-    appear in docs/TRAINED_WEIGHTS_RUNBOOK.md's pass-criteria table."""
+    appear in docs/TRAINED_WEIGHTS_RUNBOOK.md's pass-criteria table.
+
+    The MIXED artifact carries a tighter bound on the same yardstick:
+    --dtype mixed keeps only the ViT block matmul weights bf16 (+88 MiB
+    of f32 elsewhere). Measured canonical p99 vs torch is 1.05 % -- 6x
+    under bf16's 6.1 % -- of which the cross-implementation f32 noise
+    floor (JAX/TPU flash+HIGHEST vs torch/CPU) is a large share; the
+    same-stack isolation probe is gated separately at p99 < 0.5 %
+    (test_mixed_isolation_probe_tail). Regenerate with
+    scripts/parity_real.py tpu-e2e --dtype mixed."""
     r = _load(art)
+    if "mixed" in os.path.basename(art):
+        assert r["canonical"]["mean_rel"] < 0.002, r["mode"]
+        assert r["canonical"]["p99_rel"] < 0.02, r["mode"]
+        return
     assert r["canonical"]["mean_rel"] < 0.01, r["mode"]
     assert r["canonical"]["p99_rel"] < 0.07, r["mode"]
+
+
+def test_mixed_isolation_probe_tail():
+    """The p99 < 0.5 % claim, on the yardstick that actually measures it:
+    mixed vs TRUE-F32 on the same JAX/TPU stack (scripts/
+    bf16_attribution.py none mixed -- no cross-implementation noise).
+    Committed artifact measures canonical p99 0.225 % / mean 0.017 %."""
+    path = os.path.join(ART_DIR, "mixed-vs-f32.jsonl")
+    with open(path) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    mixed = next(r for r in recs if r["probe"] == "mixed")
+    assert mixed["canonical"]["p99_rel"] < 0.005
+    assert mixed["canonical"]["mean_rel"] < 0.001
 
 
 def test_hf_three_way_cross_check():
