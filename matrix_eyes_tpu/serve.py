@@ -260,8 +260,20 @@ class _Handler(BaseHTTPRequestHandler):
         enabled, concurrent requests coalesce into one batched program; the
         noise prefetch happens before enqueueing so its transfer rides the
         link while the (possibly batched) forward computes."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
         from matrix_eyes_tpu.output.depthmap import maybe_prefetch_stereo_noise
 
+        # Start this request's host->device pixel transfer NOW, before the
+        # device lock / batch queue: JAX transfers are async and dispatch
+        # is thread-safe, so the ~36 MB upload of a 12 MP photo rides the
+        # link while earlier requests' forwards compute instead of
+        # serialising inside the device section (the steady-state request
+        # breakdown in docs/perf/serve_burst_r5.json motivated this).
+        # Downstream jnp.asarray(src.rgb) is a no-op on a device array.
+        source = dataclasses.replace(source, rgb=jnp.asarray(source.rgb))
         noise = None
         if self.batcher is not None:
             if dst is not None:
