@@ -360,13 +360,18 @@ def run(args: Args, progress=None) -> None:
                     source=src,
                     mesh=mesh,
                 )
-            except MatrixEyesError:
+            except MatrixEyesError as err:
                 # Directory mode gets per-image failure isolation (the
                 # reference runs one process per image, main.rs:161-172:
                 # a bad photo fails ITS run only). The canonical stage
                 # message was already printed by the pipeline; keep going
-                # and exit 1 at the end with a summary.
-                if not batch:
+                # and exit 1 at the end with a summary. Only per-image
+                # stages (load/output) are isolated: a model-stage
+                # failure is systemic (device/weights) and re-running it
+                # on every remaining image would turn an immediate abort
+                # into hours of repeated failures.
+                if not batch or getattr(err, "stage", None) \
+                        not in ("load", "output"):
                     raise
                 failed += 1
     finally:

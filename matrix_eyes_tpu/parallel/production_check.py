@@ -111,19 +111,28 @@ def compile_production_forward(cfg: ModelConfig, mesh,
         compiled = jax.jit(fwd).lower(params, img).compile()
     txt = compiled.as_text()
 
+    from matrix_eyes_tpu.flops import _split_tiles
+
     data = mesh.shape["data"]
-    n_patches = 25 + 9 + 1  # encoder.rs:238-250
+    model_axes = [s for n, s in mesh.shape.items() if n != "data" and s > 1]
+    k = model_axes[0] if model_axes else 1
+    n_patches = (_split_tiles(cfg.img_size, cfg.vit_img_size, 4) ** 2
+                 + _split_tiles(cfg.img_size // 2, cfg.vit_img_size, 2) ** 2
+                 + 1)  # encoder.rs:238-250 (35 for production)
     padded = -(-n_patches * batch // data) * data
     per_dev = padded // data
     S = cfg.vit_img_size
     assert f"[{per_dev},{S},{S},3]" in txt, \
         "patch axis is not sharded per-device at production scale"
-    assert f"[{padded},{S},{S},3]" not in txt, \
-        "unsharded full pyramid found in the production HLO"
-    assert "all-reduce" in txt, "expected TP all-reduces"
-    assert any(c in txt for c in ("all-to-all", "all-gather",
-                                  "collective-permute")), \
-        "expected a patch-merge redistribution collective"
+    if data > 1:
+        # a data=1 mesh legitimately keeps the full pyramid on one shard
+        assert f"[{padded},{S},{S},3]" not in txt, \
+            "unsharded full pyramid found in the production HLO"
+        assert any(c in txt for c in ("all-to-all", "all-gather",
+                                      "collective-permute")), \
+            "expected a patch-merge redistribution collective"
+    if k > 1:
+        assert "all-reduce" in txt, "expected TP all-reduces"
     # head-local attention: no collective may gather a token-axis activation
     tokens = str(cfg.num_patch_tokens + 1)
     shape_re = re.compile(r"[a-z0-9]+\[([\d,]*)\]")

@@ -271,19 +271,20 @@ def extract_depth_batch(
             writers, w_jobs = [], []
             for i, ((src_path, out_path), s) in enumerate(live):
                 try:
-                    with timings.span("output: render dispatch"):
-                        writers.append(
-                            DepthMap.new(inv[i], s.original_size)
-                            .prepare_output(
-                                out_path,
-                                src_path,
-                                image_format=image_format,
-                                vertex_mode=vertex_mode,
-                                resize_scale=resize_scale,
-                                amplitude=stereo_amplitude,
-                                seed=runtime.seed,
-                                stereo_noise=noises[i],
-                            ))
+                    # prepare_output records its own "output: render
+                    # dispatch" spans; no outer span (it would double-count)
+                    writers.append(
+                        DepthMap.new(inv[i], s.original_size)
+                        .prepare_output(
+                            out_path,
+                            src_path,
+                            image_format=image_format,
+                            vertex_mode=vertex_mode,
+                            resize_scale=resize_scale,
+                            amplitude=stereo_amplitude,
+                            seed=runtime.seed,
+                            stereo_noise=noises[i],
+                        ))
                     w_jobs.append((src_path, out_path))
                 except Exception as err:
                     failures.append((out_path, stage_error(
@@ -345,11 +346,15 @@ def extract_depth(
 
     from matrix_eyes_tpu.errors import MatrixEyesError, ReconstructionError
 
-    def stage_error(msg: str, err: Exception):
+    def stage_error(msg: str, err: Exception, stage: str):
         print(f"{msg}: {err}", file=sys.stderr)
-        if isinstance(err, MatrixEyesError):
-            return err
-        return ReconstructionError(f"{msg}: {err}")
+        out = err if isinstance(err, MatrixEyesError) \
+            else ReconstructionError(f"{msg}: {err}")
+        # which pipeline stage failed: the CLI's directory loop isolates
+        # per-image stages (load/output) but aborts on model-stage
+        # failures, which are systemic (device/weights), not per-image
+        out.stage = stage
+        return out
 
     # Stage-specific failure reporting mirrors the reference
     # (reconstruction.rs:167-203: each stage eprintln's its own message
@@ -382,7 +387,7 @@ def extract_depth(
 
             img = jax.device_put(img, NamedSharding(mesh, PartitionSpec()))
     except Exception as err:
-        raise stage_error("Failed to load source image", err) from err
+        raise stage_error("Failed to load source image", err, "load") from err
     pl_pre.report_status(1.0)
 
     # Stereogram noise prefetch: the noise plane depends only on
@@ -445,7 +450,7 @@ def extract_depth(
                 # and the table would blame the write path for it.
                 depth_map.data.block_until_ready()
     except Exception as err:
-        raise stage_error("Failed to process image", err) from err
+        raise stage_error("Failed to process image", err, "model") from err
     pl_net.report_status(1.0)
 
     pl_out.update_message("writing output")
@@ -464,5 +469,5 @@ def extract_depth(
                 stereo_noise=stereo_noise,
             )
     except Exception as err:
-        raise stage_error("Failed to output result", err) from err
+        raise stage_error("Failed to output result", err, "output") from err
     pl_out.report_status(1.0)

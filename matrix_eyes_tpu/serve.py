@@ -427,7 +427,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self.close_connection = True  # state after a raw failure is
                 self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return                        # not worth trusting for reuse
-            self._reply(200, out, ctype)
+            try:
+                self._reply(200, out, ctype)
+            finally:
+                # a client that aborts before (or during) the stream would
+                # otherwise orphan the spool directory: send_response /
+                # send_header can raise BrokenPipeError before stream_to's
+                # own cleanup is reached. cleanup() is idempotent.
+                if isinstance(out, _FileResponse):
+                    out.cleanup()
         finally:
             self.inflight.release()
 

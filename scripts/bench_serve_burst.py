@@ -77,8 +77,28 @@ def _run_mode(session, photo: bytes, max_batch: int, requests: int,
     url = (f"http://127.0.0.1:{server.server_address[1]}"
            f"/v1/process?format={fmt}&focal-length=35")
     try:
-        # warm: compile every pow-2 batch shape the burst will hit (one
-        # idle-arrival batch-1 request, then one full-concurrency volley)
+        # warm: compile every pow-2 batch shape the burst can hit,
+        # DETERMINISTICALLY -- a concurrent warm volley's coalescing is
+        # timing-dependent (it may only form batches of 1 and 4, leaving
+        # shape 2 to compile inside the measured window), so drive the
+        # batched forward directly at each padded shape first
+        import tempfile
+
+        from matrix_eyes_tpu.io.image import load_source_image
+
+        with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+            f.write(photo)
+            f.flush()
+            src = load_source_image(f.name, 35.0)
+        b = 1
+        top = 1 << (max_batch - 1).bit_length()  # the largest PADDED shape
+        while b <= top:
+            for dm in session.depth_maps([src] * min(b, max_batch),
+                                         pad_to_pow2=True):
+                dm.data.block_until_ready()
+            b *= 2
+        # then one HTTP request + one full-concurrency volley to warm the
+        # render/encode path end-to-end
         _post(url, photo)
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             list(pool.map(lambda _i: _post(url, photo), range(concurrency)))

@@ -31,8 +31,15 @@ SKIP_NO_FULL_CHECKPOINT = (
 SKIP_ROOT_CANNOT_DROP_WRITE = (
     "expected-skip[root]: cannot make a directory read-only for this user")
 
-# the documented set: (tag, count on this sandbox)
+SKIP_NO_XLA_COST_ANALYSIS = (
+    "expected-skip[no-xla-cost-analysis]: XLA cost analysis unavailable "
+    "on this backend")
+
+# the documented set: (tag, count on this sandbox). Reasons with count 0
+# are sanctioned environment guards that do NOT fire here (listed so the
+# CI skip-audit gate accepts them if a backend change ever trips one).
 EXPECTED = {
     SKIP_NO_FULL_CHECKPOINT: 2,
     SKIP_ROOT_CANNOT_DROP_WRITE: 1,
+    SKIP_NO_XLA_COST_ANALYSIS: 0,
 }

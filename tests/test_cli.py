@@ -564,6 +564,35 @@ def test_cli_batch1_loop_keep_going(workdir, tmp_path, capsys):
         assert (outdir / f"img{i}.png").exists(), i
 
 
+def test_cli_batch1_loop_aborts_on_systemic_model_failure(
+        workdir, tmp_path, capsys, monkeypatch):
+    """A model-stage failure is systemic (device/weights), not per-image:
+    the directory loop must abort on the FIRST one instead of retrying
+    the failing forward on every remaining image (pipeline stage_error
+    tags err.stage; cli.run isolates only load/output)."""
+    d, ckpt, _src = workdir
+    srcdir = _varied_dir(tmp_path, "in_b1_sys", 3)
+    outdir = tmp_path / "out_b1_sys"
+    outdir.mkdir()
+    from matrix_eyes_tpu import aot
+
+    calls = {"n": 0}
+    orig = aot.call_cached
+
+    def boom(name, fn, args, salt=""):
+        if name.startswith("fwd"):
+            calls["n"] += 1
+            raise RuntimeError("device exploded")
+        return orig(name, fn, args, salt=salt)
+
+    monkeypatch.setattr(aot, "call_cached", boom)
+    rc = _run([f"--checkpoint-path={ckpt}", "--focal-length=28",
+               str(srcdir), str(outdir)])
+    assert rc == 1
+    assert calls["n"] == 1, "systemic failure must abort, not retry per image"
+    assert "Failed to process image" in capsys.readouterr().err
+
+
 def test_cli_batch_size_ignored_for_single_file(workdir, tmp_path, capsys):
     d, ckpt, src = workdir
     out = str(tmp_path / "bs_single.png")

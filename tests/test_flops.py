@@ -74,7 +74,9 @@ def test_xla_cost_model_cross_check():
         ca = ca[0]
     xla = ca.get("flops")
     if not xla:
-        pytest.skip("XLA cost analysis unavailable on this backend")
+        from expected_skips import SKIP_NO_XLA_COST_ANALYSIS
+
+        pytest.skip(SKIP_NO_XLA_COST_ANALYSIS)
     led = flops.model_flops(cfg)
     assert 0.85 < xla / led["total"] < 1.25, (xla, led["total"])
 

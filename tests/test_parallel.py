@@ -179,6 +179,21 @@ def test_depth_pro_production_scale_compile_and_collectives():
     assert 0 < report["collective_mbytes_total"] < 2000
 
 
+def test_production_check_degenerate_meshes():
+    """The compile check must hold on meshes with a size-1 axis too: on
+    (1, 2) the full pyramid on one shard is legitimate (data=1), and the
+    patch count is derived from the config, not hardcoded to production
+    (dryrun_multichip(2) runs exactly this shape)."""
+    from matrix_eyes_tpu.config import MID
+    from matrix_eyes_tpu.parallel.production_check import (
+        compile_production_forward,
+    )
+
+    report = compile_production_forward(MID, make_mesh(2, model=2))
+    assert report["patches_per_device"] == 35  # 25 + 9 + 1, unsharded
+    assert report["collectives"].get("all-reduce", {}).get("count", 0) > 0
+
+
 def test_flash_shard_mapped_on_data_mesh(monkeypatch):
     # On a pure data-parallel mesh the fused attention kernel runs
     # per-shard under shard_map (a pallas_call is opaque to GSPMD); the

@@ -12,11 +12,11 @@ import os
 
 import pytest
 
+from expected_skips import SKIP_NO_FULL_CHECKPOINT
+
 CKPT = "/tmp/ckpt_full/depth_pro.pt"
 ART_DIRS = [d for d in glob.glob("/tmp/parity*") if
             os.path.exists(os.path.join(d, "stages-f32.json"))]
-
-from expected_skips import SKIP_NO_FULL_CHECKPOINT
 
 pytestmark = pytest.mark.skipif(
     not (os.path.exists(CKPT) and ART_DIRS),

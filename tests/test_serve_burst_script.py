@@ -12,14 +12,13 @@ import numpy as np
 import torch
 from PIL import Image
 
-from matrix_eyes_tpu.config import TINY
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-
 import torch_ref
+
+from matrix_eyes_tpu.config import TINY
 
 
 def test_burst_script_smoke(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     import bench_serve_burst
 
     tm = torch_ref.randomize(torch_ref.DepthPro(TINY), seed=3)
