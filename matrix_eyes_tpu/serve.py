@@ -353,14 +353,16 @@ class _Handler(BaseHTTPRequestHandler):
                 # the measured reason bf16 is the TPU default and mixed is
                 # opt-in (round-5 decision, BENCH_r05 / docs/PERFORMANCE.md
                 # "Default dtype"): mixed's f32 stages run at the MXU's
-                # 1/8-rate HIGHEST decomposition -- 0.447 s device and
-                # 1.82 s depth-map e2e vs bf16's 0.164 s / 0.85 s, over
-                # the < 1 s/image target; its accuracy win (canonical p99
+                # 1/8-rate HIGHEST decomposition -- 0.447 s device (2.7x
+                # bf16's 0.164 s) and 1.0-1.8 s depth-map e2e across
+                # tunnel windows, at/over the < 1 s/image target bf16
+                # clears with margin; its accuracy win (canonical p99
                 # 0.23 % vs 6.1 %) is one --dtype=mixed flag away
                 "default_dtype_policy": (
                     "bf16: mixed measured 2.7x device time (0.447 s vs "
-                    "0.164 s; e2e 1.82 s > 1 s target) -- see "
-                    "docs/PERFORMANCE.md 'Default dtype decision'"),
+                    "0.164 s; depth-map e2e 1.0-1.8 s vs the < 1 s "
+                    "target) -- see docs/PERFORMANCE.md 'Default dtype "
+                    "decision'"),
             })
             return
         if path == "/":
