@@ -222,6 +222,40 @@ def test_process_responses_stream_from_disk_spool(served, monkeypatch):
     assert not os.path.exists(seen["dir"])
 
 
+def test_spool_cleaned_when_client_aborts_mid_stream(served, monkeypatch):
+    """A client that drops the connection before/while the response
+    streams must not orphan the spool directory: do_POST's finally calls
+    cleanup() even when the send raises (the round-5 review's leak)."""
+    import os
+    import time
+
+    import matrix_eyes_tpu.serve as serve_mod
+
+    base, jpeg, _ = served
+    state = {"dirs": [], "broke": False}
+    orig = serve_mod._FileResponse.stream_to
+
+    def broken_once(self, wfile):
+        if not state["broke"]:
+            state["broke"] = True
+            state["dirs"].append(self.cleanup_dir)
+            raise BrokenPipeError("client went away")
+        return orig(self, wfile)
+
+    monkeypatch.setattr(serve_mod._FileResponse, "stream_to", broken_once)
+    with pytest.raises(Exception):
+        _post(base + "/v1/process?focal-length=35", jpeg)
+    assert state["dirs"] and state["dirs"][0] is not None
+    for _ in range(100):
+        if not os.path.exists(state["dirs"][0]):
+            break
+        time.sleep(0.05)
+    assert not os.path.exists(state["dirs"][0])
+    # the handler thread died with its connection; the server still serves
+    code, ctype, _body = _post(base + "/v1/process?focal-length=35", jpeg)
+    assert code == 200 and ctype == "image/png"
+
+
 def test_file_response_transfer_memory_is_chunk_bounded(tmp_path):
     """Streaming a 64 MB spool allocates O(CHUNK), not O(size): the bound
     that keeps a 378 MB texture-mesh reply (times --max-inflight) from
