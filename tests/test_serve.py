@@ -55,6 +55,12 @@ def test_healthz(served):
     assert rec["status"] == "ok"
     assert rec["img_size"] == me.cfg.img_size
     assert rec["dtype"] == str(np.dtype(me.runtime.resolved_dtype()))
+    assert rec["weight_policy"] == "plain"
+    # the measured reason bf16 is the default and mixed is opt-in must
+    # stay served (round-5 verdict: "write the measured reason into
+    # PERFORMANCE.md and healthz")
+    assert "mixed measured" in rec["default_dtype_policy"]
+    assert "docs/PERFORMANCE.md" in rec["default_dtype_policy"]
 
 
 def test_process_depthmap_png(served):
