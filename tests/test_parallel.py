@@ -96,13 +96,28 @@ def test_data_parallel_batch(params):
 
 
 def test_graft_entry_lowers():
-    import importlib.util
+    """Run the driver entry exactly as the driver does: a FRESH
+    interpreter with no prearranged JAX env. Isolation is the point, not
+    a convenience: (a) dryrun_multichip's _provision_cpu_mesh may
+    clear_backends, which must never touch the suite's own live backend;
+    (b) executing it inside the suite process (torch + many jax clients
+    + pytest threads) intermittently SIGABRTed in XLA CPU runtime
+    teardown with no Python-level error -- a fresh process is the
+    supported contract and has never aborted."""
+    import os
+    import subprocess
+    import sys
 
-    spec = importlib.util.spec_from_file_location("graft", "__graft_entry__.py")
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
-    # compile-check the tiny dryrun path end-to-end
-    m.dryrun_multichip(8)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, timeout=1800, env=env)
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-2000:])
+    assert "dryrun_multichip ok: n=8" in proc.stdout
+    assert "leg depth-pro-compile" in proc.stdout
 
 
 def test_mid_config_collectives_in_compiled_hlo():
